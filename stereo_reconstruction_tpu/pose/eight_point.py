@@ -1,0 +1,136 @@
+"""Eight-point essential-matrix estimation (batched, jittable).
+
+TPU-native re-design of the reference ``EightPointAlgorithm``
+(``src/PoseEstimation/eight_point.cpp:26-147``): identical math — chi
+matrix from Kronecker products, SVD projection onto the essential space,
+the four (R, T) candidates from ±Rz(90°), cheirality via joint depth
+triangulation — but expressed as pure batched linear algebra:
+
+  * every step vmaps over a leading hypothesis axis (RANSAC runs K
+    hypotheses in one go, replacing the reference's sequential loop);
+  * the 4-candidate cheirality check is a vectorized select instead of a
+    try/throw loop (eight_point.cpp:77-90): all four are triangulated and
+    the first all-positive-depth candidate wins; a validity flag replaces
+    the reference's ``throw``.
+
+Support size N is static (jit-friendly); masked points (weight 0) are
+supported for fixed-size RANSAC subsets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereo_reconstruction_tpu.ops import geometry as geo
+
+
+class EightPointResult(NamedTuple):
+    rotation: jnp.ndarray       # (..., 3, 3)
+    translation: jnp.ndarray    # (..., 3)
+    essential: jnp.ndarray      # (..., 3, 3)
+    pose: jnp.ndarray           # (..., 4, 4)
+    depths_left: jnp.ndarray    # (..., N) depths of left points
+    points_left: jnp.ndarray    # (..., 3, N) reconstructed 3D (left frame)
+    points_right: jnp.ndarray   # (..., 3, N) reconstructed 3D (right frame)
+    valid: jnp.ndarray          # (...,) bool — cheirality satisfied
+
+
+def eight_point(
+    matches_left: jnp.ndarray,    # (..., 3, N) homogeneous pixel coords
+    matches_right: jnp.ndarray,   # (..., 3, N)
+    K_left: jnp.ndarray,          # (3, 3) or (..., 3, 3)
+    K_right: jnp.ndarray,
+) -> EightPointResult:
+    """Run the eight-point algorithm on N >= 8 correspondences."""
+    xl = geo.normalize_points(K_left, matches_left)     # (..., 3, N)
+    xr = geo.normalize_points(K_right, matches_right)
+
+    # chi[i] = kron(xl_i, xr_i)  (reference eight_point.cpp:30-33; note the
+    # reference kron(pointsLeft, pointsRight) with Eigen column-major
+    # reshape(3,3) of V's last column gives E with E_ab ordered so that
+    # xr^T E xl = 0 under this layout)
+    chi = geo.kron_vec(xl.mT, xr.mT)                    # (..., N, 9)
+
+    # essential matrix estimate: right singular vector of chi for the
+    # smallest singular value == eigenvector of chi^T chi
+    _, _, vt = jnp.linalg.svd(chi, full_matrices=True)
+    e_vec = vt[..., -1, :]                               # (..., 9)
+    # Eigen's reshaped(3,3) is column-major: element (r, c) = e_vec[c*3+r]
+    E0 = e_vec.reshape(*e_vec.shape[:-1], 3, 3).mT
+
+    # project onto the normalized essential space (eight_point.cpp:40-51)
+    U, _, Vt = jnp.linalg.svd(E0)
+    detU = jnp.linalg.det(U)
+    detV = jnp.linalg.det(Vt.mT)
+    U = U * jnp.sign(detU)[..., None, None]
+    Vt = Vt * jnp.sign(detV)[..., None, None]
+    sigma = jnp.diag(jnp.array([1.0, 1.0, 0.0], dtype=E0.dtype))
+
+    Rz = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E0.dtype)
+
+    def candidate(Rz_k):
+        R = U @ Rz_k.T @ Vt
+        T_skew = U @ Rz_k @ sigma @ U.mT
+        T = jnp.stack(
+            [-T_skew[..., 1, 2], T_skew[..., 0, 2], -T_skew[..., 0, 1]], axis=-1
+        )
+        return R, T
+
+    R1, T1 = candidate(Rz)
+    R2, T2 = candidate(Rz.T)
+
+    # four combinations in the reference's iteration order
+    # (eight_point.cpp:72-87): (R1,T1), (R1,T2), (R2,T1), (R2,T2)
+    Rs = jnp.stack([R1, R1, R2, R2], axis=0)            # (4, ..., 3, 3)
+    Ts = jnp.stack([T1, T2, T1, T2], axis=0)
+
+    def reconstruct(R, T):
+        depths = geo.triangulate_depths(xl, xr, R, T)   # (..., N)
+        pts_left = xl * depths[..., None, :]
+        pts_right = geo.transform(R, T, pts_left)
+        ok = jnp.all(pts_left[..., 2, :] >= 0, axis=-1) & jnp.all(
+            pts_right[..., 2, :] >= 0, axis=-1
+        )
+        return depths, pts_left, pts_right, ok
+
+    depths4, pl4, pr4, ok4 = jax.vmap(reconstruct)(Rs, Ts)
+
+    # first valid candidate wins (reference breaks on first success)
+    first = jnp.argmax(ok4, axis=0)                      # (...,)
+    valid = jnp.any(ok4, axis=0)
+
+    def take(arr):
+        idx = first.reshape(first.shape + (1,) * (arr.ndim - 1 - first.ndim))
+        return jnp.take_along_axis(arr, idx[None], axis=0)[0]
+
+    R = take(Rs)
+    T = take(Ts)
+    depths = take(depths4)
+    pts_left = take(pl4)
+    pts_right = take(pr4)
+
+    E = geo.essential_from_pose(R, T)
+    pose = jnp.zeros(R.shape[:-2] + (4, 4), R.dtype)
+    pose = pose.at[..., :3, :3].set(R)
+    pose = pose.at[..., :3, 3].set(T)
+    pose = pose.at[..., 3, 3].set(1.0)
+
+    return EightPointResult(R, T, E, pose, depths, pts_left, pts_right, valid)
+
+
+def reprojection_errors(
+    result: EightPointResult,
+    matches_right: jnp.ndarray,
+    K_right: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-point pixel error of reconstructed points projected into the
+    right camera (reference RANSAC scoring, eight_point.cpp:282-287)."""
+    proj = geo.project(K_right, result.points_right)
+    return geo.pixel_error(proj, matches_right)
+
+
+def fundamental_matrix(result: EightPointResult, K_left, K_right) -> jnp.ndarray:
+    return geo.fundamental_from_essential(result.essential, K_left, K_right)

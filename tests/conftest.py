@@ -1,0 +1,35 @@
+"""Test configuration.
+
+Tests run on CPU with a virtual 8-device platform so sharding tests work
+without TPU hardware (SURVEY.md §4: fake-mesh CPU testing). Must be set
+before jax imports anything device-related.
+"""
+
+import os
+
+# Force CPU: the session environment pins JAX_PLATFORMS to the TPU tunnel
+# (axon), which tests must not grab. Override with STPU_TEST_PLATFORM to
+# run the suite on real hardware.
+os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_TEST_PLATFORM", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DATA = "/root/reference/data/MiddEval3"
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def middeval_root():
+    if not os.path.isdir(REFERENCE_DATA):
+        pytest.skip("MiddEval3 data not available")
+    return REFERENCE_DATA

@@ -1,0 +1,121 @@
+"""Validate the TPU block search against the literal NumPy oracle of the
+reference BlockSearch (see stereo_reconstruction_tpu/oracle.py).
+
+Small random images keep the O(H*W*D*B^2) loop oracle tractable; natural
+image crops are covered by the integration test in test_pipeline_config1.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_reconstruction_tpu import oracle
+from stereo_reconstruction_tpu.config import MatcherConfig
+from stereo_reconstruction_tpu.ops import block_search, cost_volume as cv, smoothing
+
+
+def _random_stereo(rng, h=40, w=56, max_d=12, noise=6):
+    """A synthetic stereo pair: right image is the left shifted by a
+    smoothly varying disparity + noise, with a black border strip."""
+    left = rng.integers(10, 250, (h, w, 3)).astype(np.float64)
+    # smooth it so windows are discriminative
+    for _ in range(2):
+        left = (left + np.roll(left, 1, 0) + np.roll(left, 1, 1) + np.roll(left, -1, 0)) / 4
+    left = left.astype(np.uint8)
+    disp_true = (max_d / 2 + (max_d / 3) * np.sin(np.arange(w) / 7))[None, :].repeat(h, 0)
+    xs = np.arange(w)[None, :].repeat(h, 0)
+    src = np.clip(xs + np.round(disp_true).astype(int), 0, w - 1)
+    right = left[np.arange(h)[:, None], src]
+    right = np.clip(
+        right.astype(np.int64) + rng.integers(-noise, noise, right.shape), 1, 255
+    ).astype(np.uint8)
+    right[:, :2] = 0  # black strip like warped borders
+    return left, right
+
+
+def test_cost_volume_right_matches_oracle(rng):
+    left, right = _random_stereo(rng, h=24, w=32, max_d=8)
+    want = oracle.cost_volume_right(left, right, block_size=7, min_disparity=0, max_disparity=10)
+    got = np.asarray(
+        cv.cost_volume_right_ssd(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            block_size=7, min_disparity=0, max_disparity=10,
+        )
+    )
+    got_hwd = np.moveaxis(got, 0, -1)
+    # identical +inf pattern
+    np.testing.assert_array_equal(np.isinf(got_hwd), np.isinf(want))
+    finite = np.isfinite(want)
+    np.testing.assert_allclose(got_hwd[finite], want[finite], rtol=1e-5, atol=1e-4)
+
+
+def test_block_search_right_matches_loop_oracle(rng):
+    left, right = _random_stereo(rng, h=28, w=40, max_d=8)
+    cfg = MatcherConfig(block_size=7, min_disparity=0, max_disparity=10,
+                        smooth_factor=0.9, row_smooth_iters=2)
+    want = oracle.block_search_right_loop(
+        left, right, block_size=7, min_disparity=0, max_disparity=10, smooth_factor=0.9
+    )
+    got = np.asarray(block_search.block_search_right(
+        jnp.asarray(left), jnp.asarray(right), cfg
+    ))
+    agree = np.mean(got == want)
+    assert agree > 0.99, f"only {agree:.3%} pixels agree with the reference oracle"
+
+
+def test_block_search_right_fast_oracle_consistent(rng):
+    """The vectorized oracle tier must equal the literal loop tier."""
+    left, right = _random_stereo(rng, h=20, w=30, max_d=6)
+    a = oracle.block_search_right_loop(
+        left, right, block_size=5, min_disparity=0, max_disparity=8
+    )
+    b = oracle.block_search_right_fast(
+        left, right, block_size=5, min_disparity=0, max_disparity=8
+    )
+    np.testing.assert_array_equal(a, b)
+
+
+def test_block_search_left_matches_loop_oracle(rng):
+    left, right = _random_stereo(rng, h=24, w=36, max_d=6)
+    cfg = MatcherConfig(block_size=5, max_disparity=8, smooth_factor=0.9,
+                        row_smooth_iters=2)
+    want = oracle.block_search_left_loop(
+        left, right, block_size=5, max_disparity=8, smooth_factor=0.9
+    )
+    got = np.asarray(block_search.block_search_left(
+        jnp.asarray(left), jnp.asarray(right), cfg
+    ))
+    agree = np.mean(got == want)
+    assert agree > 0.97, f"only {agree:.3%} pixels agree with the reference oracle"
+
+
+def test_black_pixels_get_zero(rng):
+    left, right = _random_stereo(rng)
+    cfg = MatcherConfig(block_size=7, max_disparity=10)
+    got = np.asarray(block_search.block_search_right(jnp.asarray(left), jnp.asarray(right), cfg))
+    assert (got[:, :2] == 0).all()
+
+
+def test_no_candidate_sentinel():
+    """Pixels too close to the right edge of the left image keep
+    minimumCorrespondX=0 -> disparity -x (BlockSearch.cpp:111,174)."""
+    h, w = 12, 16
+    left = np.full((h, 8, 3), 100, np.uint8)   # narrow left image
+    right = np.full((h, w, 3), 100, np.uint8)
+    want = oracle.block_search_right_loop(left, right, block_size=5,
+                                          min_disparity=0, max_disparity=6)
+    got = np.asarray(block_search.block_search_right(
+        jnp.asarray(left), jnp.asarray(right),
+        MatcherConfig(block_size=5, min_disparity=0, max_disparity=6),
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_texture_measure_matches_oracle(rng):
+    left, right = _random_stereo(rng, h=16, w=20)
+    tex = np.asarray(block_search.window_texture(jnp.asarray(right, jnp.float32), 5))
+    for y, x in [(0, 0), (3, 4), (8, 10), (15, 19)]:
+        l = min(x, 2); r = min(20 - x - 1, 2)
+        u = min(y, 2); d = min(16 - y - 1, 2)
+        want = oracle._texture(right, x, y, l, r, u, d)
+        np.testing.assert_allclose(tex[y, x], want, rtol=1e-4, atol=0.5)
