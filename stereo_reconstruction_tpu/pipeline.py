@@ -1,0 +1,210 @@
+"""End-to-end stereo reconstruction pipeline.
+
+The framework's equivalent of the reference ``main()``
+(``src/main.cpp:13-66``): pose estimation -> rectification -> dense
+disparity -> post-processing -> depth -> mesh — plus staged artifacts so
+every stage is resumable (the reference stages through
+``results/disparity_map.png``; we stage float PFMs + JSON and keep the
+uint8 PNG round-trip as a compat option, since it quantizes disparity).
+
+Stage boundary layout:
+  host: feature/pose orchestration glue, Loop-Zhang homographies (tiny
+        3x3 float64 math), artifact I/O;
+  device (jit): feature detection, descriptor matching, RANSAC 8pt, BA,
+        warps, cost volume + smoothing argmin, disparity post-processing,
+        back-projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_reconstruction_tpu.config import PipelineConfig
+from stereo_reconstruction_tpu.data.records import StereoPair
+from stereo_reconstruction_tpu.io.image import disparity_png_roundtrip
+from stereo_reconstruction_tpu.io.pfm import write_pfm
+from stereo_reconstruction_tpu.ops import metrics as metrics_mod
+from stereo_reconstruction_tpu.ops.block_search import block_search_right
+from stereo_reconstruction_tpu.ops.features import detect_and_describe
+from stereo_reconstruction_tpu.ops.matching import (
+    match_descriptors,
+    matches_to_homogeneous,
+)
+from stereo_reconstruction_tpu.pose.pipeline import (
+    PoseEstimate,
+    estimate_pose_from_matches,
+)
+from stereo_reconstruction_tpu.recon.backproject import backproject
+from stereo_reconstruction_tpu.recon.disparity import (
+    disparity_to_depth,
+    remove_disparity_outliers,
+)
+from stereo_reconstruction_tpu.recon.meshing import save_mesh
+from stereo_reconstruction_tpu.rectify.rectifier import (
+    disparity_to_original_frame,
+    rectify_pair,
+)
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    pose: Optional[PoseEstimate]
+    disparity: np.ndarray            # (H, W) right-image disparity, original frame
+    depth: Optional[np.ndarray]
+    metrics: Dict[str, float]
+    timings: Dict[str, float]
+
+
+def estimate_pose(pair: StereoPair, config: PipelineConfig, key=None) -> PoseEstimate:
+    """SIFT x2 -> match -> RANSAC 8pt -> filter -> BA
+    (reference runFullPoseEstimation, pose_estimation.cpp:4-115)."""
+    key = jax.random.key(config.seed) if key is None else key
+    kp_l = detect_and_describe(jnp.asarray(pair.image_left), config.frontend)
+    kp_r = detect_and_describe(jnp.asarray(pair.image_right), config.frontend)
+    matches = match_descriptors(kp_l, kp_r, config.frontend)
+    ml, mr, valid = matches_to_homogeneous(matches)
+
+    # compact valid matches to the front (host-side; shapes stay static)
+    order = np.argsort(~np.asarray(valid), kind="stable")
+    ml = jnp.asarray(np.asarray(ml)[:, order])
+    mr = jnp.asarray(np.asarray(mr)[:, order])
+    n_valid = int(np.asarray(valid).sum())
+
+    return estimate_pose_from_matches(
+        key,
+        ml,
+        mr,
+        jnp.asarray(pair.intrinsics_left),
+        jnp.asarray(pair.intrinsics_right),
+        config,
+        num_matches_valid=n_valid,
+    )
+
+
+def run_pair(
+    pair: StereoPair,
+    config: PipelineConfig = PipelineConfig(),
+    output_dir: Optional[str] = None,
+    write_mesh: bool = False,
+    png_compat: bool = False,
+) -> PipelineResult:
+    """Full reconstruction of one stereo pair (reference main.cpp flow)."""
+    timings: Dict[str, float] = {}
+    t0 = time.perf_counter()
+
+    pose = estimate_pose(pair, config)
+    jax.block_until_ready(pose.pose)
+    timings["pose"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    F = np.asarray(pose.fundamental, np.float64)
+    rect = rectify_pair(
+        jnp.asarray(pair.image_left),
+        jnp.asarray(pair.image_right),
+        F,
+        config=config.rectify,
+    )
+    jax.block_until_ready(rect.right)
+    timings["rectify"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    disp_rect = block_search_right(rect.left, rect.right, config.matcher)
+    disparity = disparity_to_original_frame(
+        disp_rect,
+        rect.homographies.H_right,
+        (pair.height, pair.width),
+    )
+    jax.block_until_ready(disparity)
+    timings["disparity"] = time.perf_counter() - t0
+
+    disparity_np = np.asarray(disparity)
+    if png_compat:
+        # reference main.cpp:42,50 quantizes through a uint8 PNG
+        disparity_np = disparity_png_roundtrip(disparity_np)
+
+    t0 = time.perf_counter()
+    disp_clean = remove_disparity_outliers(
+        jnp.asarray(disparity_np),
+        config.recon.outlier_kernel,
+        config.recon.outlier_front,
+        config.recon.outlier_back,
+    )
+    focal = float(np.asarray(pair.intrinsics_right)[0, 0])
+    depth = disparity_to_depth(disp_clean, focal, config.recon.baseline)
+    grid = backproject(jnp.asarray(pair.image_right), depth, jnp.asarray(pair.intrinsics_right))
+    jax.block_until_ready(depth)
+    timings["recon"] = time.perf_counter() - t0
+
+    results: Dict[str, float] = {
+        "reproj_error_8pt": float(pose.reproj_error_8pt),
+        "reproj_error_ba": float(pose.reproj_error_ba),
+        "num_inliers": int(pose.num_inliers),
+    }
+    if pair.disp_right_gt is not None and pair.mask_right_nocc is not None:
+        m = metrics_mod.evaldisp(
+            jnp.asarray(disparity_np),
+            jnp.asarray(pair.disp_right_gt),
+            jnp.asarray(pair.mask_right_nocc),
+            bad_thresh=2.0,
+            max_disp=float(pair.ndisp or 1e9),
+        )
+        results.update({k: float(v) for k, v in m.items()})
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        stem = os.path.join(output_dir, pair.name or "pair")
+        write_pfm(stem + "_disp.pfm", disparity_np.astype(np.float32))
+        with open(stem + "_pose.json", "w") as f:
+            json.dump(
+                {
+                    "pose": np.asarray(pose.pose).tolist(),
+                    "fundamental": F.tolist(),
+                    "metrics": results,
+                    "timings": timings,
+                },
+                f,
+                indent=2,
+            )
+        if write_mesh:
+            save_mesh(stem + "_mesh.off", grid, config.recon.mesh_edge_threshold)
+
+    return PipelineResult(
+        pose=pose,
+        disparity=disparity_np,
+        depth=np.asarray(depth),
+        metrics=results,
+        timings=timings,
+    )
+
+
+def reconstruct_from_disparity(
+    pair: StereoPair,
+    disparity: np.ndarray,
+    config: PipelineConfig = PipelineConfig(),
+    output_path: Optional[str] = None,
+):
+    """The reference's RUN_ALL=0 path (main.cpp:11,46-65): reconstruct from
+    a precomputed disparity map (HitNet / perceptual) through the same
+    backend."""
+    disp_clean = remove_disparity_outliers(
+        jnp.asarray(disparity),
+        config.recon.outlier_kernel,
+        config.recon.outlier_front,
+        config.recon.outlier_back,
+    )
+    focal = float(np.asarray(pair.intrinsics_right)[0, 0])
+    depth = disparity_to_depth(disp_clean, focal, config.recon.baseline)
+    grid = backproject(
+        jnp.asarray(pair.image_right), depth, jnp.asarray(pair.intrinsics_right)
+    )
+    if output_path:
+        save_mesh(output_path, grid, config.recon.mesh_edge_threshold)
+    return grid, np.asarray(depth)

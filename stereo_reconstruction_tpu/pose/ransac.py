@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from stereo_reconstruction_tpu.config import RansacConfig
 from stereo_reconstruction_tpu.ops import geometry as geo
-from stereo_reconstruction_tpu.pose import eight_point as ep
+from stereo_reconstruction_tpu.pose.eight_point import eight_point as _eight_point
 
 
 class RansacResult(NamedTuple):
@@ -72,7 +72,7 @@ def ransac_eight_point(
     sl = jnp.moveaxis(sl, 1, 0)                          # (K, 3, s)
     sr = jnp.moveaxis(jnp.take(matches_right, samples, axis=1), 1, 0)
 
-    results = ep.eight_point(sl, sr, K_left, K_right)    # batched over K
+    results = _eight_point(sl, sr, K_left, K_right)      # batched over K
 
     # score 1: per-sample projected pixel error (reference eight_point.cpp:282-287)
     proj = geo.project(K_right, results.points_right)    # (K, 3, s)

@@ -11,6 +11,9 @@ import os
 # (axon), which tests must not grab. Override with STPU_TEST_PLATFORM to
 # run the suite on real hardware.
 os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_TEST_PLATFORM", "cpu")
+# persistent compilation cache: repeated suite runs skip recompiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,8 +26,9 @@ import pytest  # noqa: E402
 REFERENCE_DATA = "/root/reference/data/MiddEval3"
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test sees the same deterministic stream
     return np.random.default_rng(0)
 
 

@@ -1,0 +1,114 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference cannot be tested this way (no parallelism exists there);
+these are the framework's own guarantees: sharded results match the
+single-device path (SURVEY.md §4c).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stereo_reconstruction_tpu.config import BundleAdjustmentConfig, MatcherConfig
+from stereo_reconstruction_tpu.ops import geometry as geo
+from stereo_reconstruction_tpu.ops.block_search import block_search_right
+from stereo_reconstruction_tpu.ops.metrics import evaldisp
+from stereo_reconstruction_tpu.parallel import (
+    distributed_bundle_adjust,
+    make_mesh,
+    sharded_block_search_right,
+    sharded_evaldisp,
+)
+from stereo_reconstruction_tpu.pose.ba import bundle_adjust
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(data=2, tile=4)
+
+
+def _pair_batch(rng, b=4, h=64, w=96):
+    left = rng.integers(1, 255, (b, h, w, 3)).astype(np.uint8)
+    right = np.roll(left, -6, axis=2)
+    right[:, :, :2] = 0
+    return jnp.asarray(left), jnp.asarray(right)
+
+
+def test_sharded_block_search_matches_single_device(rng, mesh):
+    left, right = _pair_batch(rng)
+    cfg = MatcherConfig(block_size=5, min_disparity=0, max_disparity=16,
+                        row_smooth_iters=1)
+    sharded = np.asarray(sharded_block_search_right(left, right, mesh, cfg))
+
+    single = np.stack(
+        [np.asarray(block_search_right(left[i], right[i], cfg)) for i in range(left.shape[0])]
+    )
+    # tile-local smoothing + boundary-tile window clipping differ only near
+    # tile seams; the interior must agree almost everywhere
+    agree = (sharded == single).mean()
+    assert agree > 0.95, f"sharded vs single agreement {agree:.3%}"
+
+
+def test_sharded_evaldisp_matches_single(rng, mesh):
+    b, h, w = 4, 64, 96
+    disp = jnp.asarray(rng.uniform(0, 20, (b, h, w)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 20, (b, h, w)).astype(np.float32))
+    mask = jnp.asarray(
+        np.where(rng.random((b, h, w)) < 0.8, 255, 0).astype(np.uint8)
+    )
+    got = sharded_evaldisp(disp, gt, mask, mesh, bad_thresh=2.0, max_disp=32.0)
+
+    # single-device: accumulate the same statistics over the whole batch
+    n = nv = bad = 0
+    serr = 0.0
+    for i in range(b):
+        m = evaldisp(disp[i], gt[i], mask[i], bad_thresh=2.0, max_disp=32.0)
+        n += int(m["n_evaluated"])
+        inv = float(m["invalid_percent"]) * int(m["n_evaluated"]) / 100.0
+        nv += int(m["n_evaluated"]) - int(round(inv))
+        bad += int(round(float(m["bad_percent"]) * int(m["n_evaluated"]) / 100.0))
+        serr += float(m["avg_err"]) * (int(m["n_evaluated"]) - int(round(inv)))
+    np.testing.assert_allclose(float(got["bad_percent"]), 100.0 * bad / n, atol=0.05)
+    np.testing.assert_allclose(float(got["avg_err"]), serr / max(nv, 1), rtol=1e-3)
+
+
+def test_distributed_ba_matches_single(rng, mesh):
+    n_pts = 64
+    K = jnp.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]])
+    aa = jnp.array([0.03, -0.05, 0.02])
+    R = geo.angle_axis_to_rotation(aa)
+    T = jnp.array([-0.6, 0.05, 0.2])
+    depths = jnp.asarray(rng.uniform(4, 9, n_pts).astype(np.float32))
+    xl = jnp.concatenate(
+        [jnp.asarray(rng.uniform(-0.25, 0.25, (2, n_pts)).astype(np.float32)),
+         jnp.ones((1, n_pts))]
+    )
+    pts = xl * depths[None, :]
+    pts_r = geo.transform(R, T, pts)
+    kp_l = geo.project(K, pts)
+    kp_r = geo.project(K, pts_r)
+
+    cfg = BundleAdjustmentConfig(max_iterations=10)
+    init_R = geo.angle_axis_to_rotation(aa + 0.03)
+    init_T = T + 0.05
+
+    res_d = distributed_bundle_adjust(
+        kp_l, kp_r, K, K, init_R, init_T, pts, mesh, config=cfg
+    )
+    res_s = bundle_adjust(kp_l, kp_r, K, K, init_R, init_T, pts, config=cfg)
+
+    np.testing.assert_allclose(
+        np.asarray(res_d.rotation), np.asarray(res_s.rotation), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_d.translation), np.asarray(res_s.translation), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        float(res_d.final_cost), float(res_s.final_cost), rtol=0.05, atol=1e-3
+    )
