@@ -41,9 +41,14 @@ class RansacConfig:
     """
 
     num_hypotheses: int = 128         # replaces maxIter=100 sequential trips
-    sample_size: int = 12             # N_KEYPOINTS_8PT (eight_point.cpp:11)
+    # minimal samples maximize the clean-sample rate for parallel RANSAC
+    # (the reference's 12-point N_KEYPOINTS_8PT, eight_point.cpp:11, suits
+    # its sequential point-swap refinement instead)
+    sample_size: int = 8
     error_threshold: float = 4.0      # errorThreshold (eight_point.cpp:259)
     init_error_factor: float = 3.0    # initial accept = 3 * threshold (:268)
+    refine_rounds: int = 2            # refit-on-tightest-inlier polish rounds
+    refine_support: int = 16          # matches used per refit
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +63,12 @@ class BundleAdjustmentConfig:
 
     max_iterations: int = 20
     num_points: int = 60
+    # "l2" matches the reference's plain squared loss
+    # (bundle_adjustment.h:254-259 passes a nullptr loss function);
+    # "huber" adds IRLS robust weighting — an improvement the reference
+    # lacks, used by the default pipeline against residual outliers.
+    loss: str = "huber"
+    huber_delta: float = 2.0          # px
     init_lambda: float = 1e-3
     lambda_up: float = 10.0
     lambda_down: float = 0.1

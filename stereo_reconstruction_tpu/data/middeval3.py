@@ -143,12 +143,16 @@ def downsample_pair(pair: StereoPair, factor: int = 2) -> StereoPair:
     def _disp(a):
         if a is None:
             return None
-        return np.asarray(a)[::factor, ::factor] / factor
+        a = np.asarray(a)
+        h, w = (a.shape[0] // factor) * factor, (a.shape[1] // factor) * factor
+        return a[:h:factor, :w:factor] / factor
 
     def _mask(a):
         if a is None:
             return None
-        return np.asarray(a)[::factor, ::factor]
+        a = np.asarray(a)
+        h, w = (a.shape[0] // factor) * factor, (a.shape[1] // factor) * factor
+        return a[:h:factor, :w:factor]
 
     def _K(K):
         K = np.asarray(K, dtype=np.float32).copy()

@@ -67,11 +67,19 @@ def distributed_bundle_adjust(
             in_axes=(0, 0, 0, None),
         )
 
+        def robust_weights(pose6, X):
+            if config.loss != "huber":
+                return w_blk
+            r = residuals_all(pose6, X)
+            err = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)
+            return w_blk * jnp.sqrt(jnp.minimum(1.0, config.huber_delta / err))
+
         def lm_step(state, _):
             pose6, X, lam, current_cost = state
-            r = residuals_all(pose6, X) * w_blk[:, None]
-            Jp = jac_pose(X, kp_l_blk, kp_r_blk, pose6) * w_blk[:, None, None]
-            Jx = jac_point(X, kp_l_blk, kp_r_blk, pose6) * w_blk[:, None, None]
+            rw = robust_weights(pose6, X)
+            r = residuals_all(pose6, X) * rw[:, None]
+            Jp = jac_pose(X, kp_l_blk, kp_r_blk, pose6) * rw[:, None, None]
+            Jx = jac_point(X, kp_l_blk, kp_r_blk, pose6) * rw[:, None, None]
 
             B = jnp.einsum("nri,nrj->ij", Jp, Jp)
             E = jnp.einsum("nri,nrj->nij", Jp, Jx)

@@ -1,0 +1,96 @@
+"""Uncalibrated rectification pipeline (the reference's second frontend).
+
+Equivalent of ``src/rectification_main.cpp:157-217``: detect + match
+features, estimate F directly with RANSAC (no intrinsics), Loop-Zhang
+rectify, run the linear (1x1) search, re-estimate F on the rectified pair.
+The reference's ORB/BRISK + Hamming matching is served by the framework's
+DoG frontend + descriptor matmul (the matcher is detector-agnostic); the
+F path is the normalized-8-point RANSAC of pose/fundamental.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_reconstruction_tpu.config import PipelineConfig
+from stereo_reconstruction_tpu.ops.features import detect_and_describe
+from stereo_reconstruction_tpu.ops.linear_search import linear_search
+from stereo_reconstruction_tpu.ops.matching import (
+    match_descriptors,
+    matches_to_homogeneous,
+)
+from stereo_reconstruction_tpu.pose.fundamental import ransac_fundamental
+from stereo_reconstruction_tpu.rectify.rectifier import rectify_pair
+
+
+@dataclasses.dataclass
+class UncalibratedResult:
+    F: np.ndarray                 # estimated fundamental matrix
+    F_rectified: Optional[np.ndarray]   # F re-estimated on rectified pair
+    disparity: np.ndarray         # (Hc, Wc) linear-search disparity
+    rectified_left: np.ndarray
+    rectified_right: np.ndarray
+    num_inliers: int
+
+
+def run_uncalibrated(
+    image_left,
+    image_right,
+    config: PipelineConfig = PipelineConfig(),
+    key=None,
+) -> UncalibratedResult:
+    key = jax.random.key(config.seed) if key is None else key
+    kp_l = detect_and_describe(jnp.asarray(image_left), config.frontend)
+    kp_r = detect_and_describe(jnp.asarray(image_right), config.frontend)
+    matches = match_descriptors(kp_l, kp_r, config.frontend)
+    ml, mr, valid = matches_to_homogeneous(matches)
+
+    order = np.argsort(~np.asarray(valid), kind="stable")
+    ml = jnp.asarray(np.asarray(ml)[:, order])
+    mr = jnp.asarray(np.asarray(mr)[:, order])
+    n_valid = int(np.asarray(valid).sum())
+
+    fr = ransac_fundamental(key, ml, mr, num_matches_valid=n_valid)
+    F = np.asarray(fr.F, np.float64)
+
+    inl = np.asarray(fr.inlier_mask)
+    rect = rectify_pair(
+        jnp.asarray(image_left),
+        jnp.asarray(image_right),
+        F,
+        matches_left=jnp.asarray(np.asarray(ml)[:, inl]),
+        matches_right=jnp.asarray(np.asarray(mr)[:, inl]),
+        config=config.rectify,
+    )
+
+    disparity = linear_search(
+        rect.left, rect.right,
+        smooth_factor=config.matcher.smooth_factor,
+        search_range=config.matcher.max_disparity,
+    )
+
+    # re-estimate F on the rectified matches (rectification_main.cpp:199-202)
+    F_rect = None
+    if rect.matches_left is not None and n_valid >= 8:
+        ones = jnp.ones((1, rect.matches_left.shape[1]))
+        rml = jnp.concatenate([rect.matches_left, ones], axis=0)
+        rmr = jnp.concatenate([rect.matches_right, ones], axis=0)
+        fr2 = ransac_fundamental(
+            jax.random.split(key)[0], rml, rmr,
+            num_matches_valid=int(inl.sum()),
+        )
+        F_rect = np.asarray(fr2.F, np.float64)
+
+    return UncalibratedResult(
+        F=F,
+        F_rectified=F_rect,
+        disparity=np.asarray(disparity),
+        rectified_left=np.asarray(rect.left),
+        rectified_right=np.asarray(rect.right),
+        num_inliers=int(fr.num_inliers),
+    )

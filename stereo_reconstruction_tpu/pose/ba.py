@@ -110,12 +110,22 @@ def bundle_adjust(
         in_axes=(0, 0, 0, None),
     )
 
+    def robust_weights(pose6, X):
+        """IRLS weights: 1 for L2; Huber clip beyond delta px per point."""
+        if config.loss != "huber":
+            return w
+        r = residuals_all(pose6, X)                           # (N, 4)
+        err = jnp.sqrt(jnp.sum(r * r, axis=-1) + 1e-12)       # (N,) px
+        hub = jnp.minimum(1.0, config.huber_delta / err)
+        return w * jnp.sqrt(hub)
+
     def lm_step(state, _):
         pose6, X, lam, current_cost = state
 
-        r = residuals_all(pose6, X) * w[:, None]             # (N, 4)
-        Jp = jac_pose(X, kp_l, kp_r, pose6) * w[:, None, None]   # (N, 4, 6)
-        Jx = jac_point(X, kp_l, kp_r, pose6) * w[:, None, None]  # (N, 4, 3)
+        rw = robust_weights(pose6, X)
+        r = residuals_all(pose6, X) * rw[:, None]             # (N, 4)
+        Jp = jac_pose(X, kp_l, kp_r, pose6) * rw[:, None, None]   # (N, 4, 6)
+        Jx = jac_point(X, kp_l, kp_r, pose6) * rw[:, None, None]  # (N, 4, 3)
 
         # normal-equation blocks (gradient of 1/2||r||^2 uses J^T r; note
         # residual = obs - pred so the GN step solves J^T J d = -J^T r)

@@ -34,6 +34,18 @@ from stereo_reconstruction_tpu.ops import geometry as geo
 from stereo_reconstruction_tpu.pose.eight_point import eight_point as _eight_point
 
 
+def _sampson_sq(F, xl, xr):
+    """Squared Sampson (first-order geometric) distance per match, px^2."""
+    Fx = F @ xl
+    Ftx = F.mT @ xr
+    num = jnp.sum(xr * Fx, axis=-2) ** 2
+    den = (
+        Fx[..., 0, :] ** 2 + Fx[..., 1, :] ** 2
+        + Ftx[..., 0, :] ** 2 + Ftx[..., 1, :] ** 2
+    )
+    return num / jnp.maximum(den, 1e-12)
+
+
 class RansacResult(NamedTuple):
     rotation: jnp.ndarray       # (3, 3)
     translation: jnp.ndarray    # (3,)
@@ -80,34 +92,81 @@ def ransac_eight_point(
     mean_err = jnp.mean(sample_err, axis=-1)
     all_below = jnp.all(sample_err < config.error_threshold, axis=-1)
 
-    # score 2: full-set inliers under each hypothesis via depth triangulation
-    def full_inliers(R, T):
-        xl = geo.normalize_points(K_left, matches_left)
-        xr = geo.normalize_points(K_right, matches_right)
-        depths = geo.triangulate_depths(xl, xr, R, T)
-        pts_left = xl * depths[None, :]
-        pts_right = geo.transform(R, T, pts_left)
-        projected = geo.project(K_right, pts_right)
-        err = geo.pixel_error(projected, matches_right)
-        ok = (err < config.error_threshold) & (depths > 0)
-        ok = ok & (jnp.arange(n) < n_valid)
-        return jnp.sum(ok)
+    # score 2: full-set inliers by per-point Sampson distance on F.
+    # (The joint depth triangulation the reference uses for its *sample*
+    # couples all points through one eigen-system — gross outliers in the
+    # full set would corrupt every point's depth, so it cannot rank
+    # hypotheses; Sampson scores each match independently.)
+    in_range = jnp.arange(n) < n_valid
 
-    inliers = jax.vmap(full_inliers)(results.rotation, results.translation)
+    def full_inliers(E):
+        F = geo.fundamental_from_essential(E, K_left, K_right)
+        d2 = _sampson_sq(F, matches_left, matches_right)
+        return jnp.sum((d2 < config.error_threshold**2) & in_range)
+
+    inliers = jax.vmap(full_inliers)(results.essential)
     inliers = jnp.where(results.valid, inliers, -1)
 
     # winner: most inliers; tie-break by lower mean sample error
     score = inliers.astype(jnp.float32) - 1e-6 * mean_err
     best = jnp.argmax(score)
 
-    return RansacResult(
+    # local refinement, mirroring the reference's point-swap polish
+    # (eight_point.cpp:294-359): re-solve on the current model's tightest
+    # `refine_support` matches by Sampson distance; keep a refit only if
+    # it is cheirality-valid and does not lose inliers.
+    support = min(config.refine_support, n)
+    init_sample = samples[best][: min(s, support)]
+    if init_sample.shape[0] < support:
+        init_sample = jnp.pad(init_sample, (0, support - init_sample.shape[0]))
+    cur = dict(
         rotation=results.rotation[best],
         translation=results.translation[best],
         essential=results.essential[best],
         pose=results.pose[best],
-        sample_indices=samples[best],
-        inlier_count=inliers[best],
+        sample=init_sample,
+        inliers=inliers[best],
         mean_error=mean_err[best],
         success=all_below[best] & results.valid[best],
+    )
+    for _ in range(config.refine_rounds):
+        F_cur = geo.fundamental_from_essential(cur["essential"], K_left, K_right)
+        d2 = _sampson_sq(F_cur, matches_left, matches_right)
+        order = jnp.argsort(jnp.where(in_range, d2, jnp.inf))
+        top = order[:support]
+        refit = _eight_point(
+            matches_left[:, top], matches_right[:, top], K_left, K_right
+        )
+        refit_inl = jnp.where(refit.valid, full_inliers(refit.essential), -1)
+        use = refit_inl >= cur["inliers"]
+
+        def pick(a, b):
+            return jnp.where(use, a, b)
+
+        proj_r = geo.project(K_right, refit.points_right)
+        errs = geo.pixel_error(proj_r, matches_right[:, top])
+        cur = dict(
+            rotation=pick(refit.rotation, cur["rotation"]),
+            translation=pick(refit.translation, cur["translation"]),
+            essential=pick(refit.essential, cur["essential"]),
+            pose=pick(refit.pose, cur["pose"]),
+            sample=pick(top, cur["sample"]),
+            inliers=pick(refit_inl, cur["inliers"]),
+            mean_error=pick(jnp.mean(errs), cur["mean_error"]),
+            success=pick(
+                jnp.all(errs < config.error_threshold) & refit.valid,
+                cur["success"],
+            ),
+        )
+
+    return RansacResult(
+        rotation=cur["rotation"],
+        translation=cur["translation"],
+        essential=cur["essential"],
+        pose=cur["pose"],
+        sample_indices=cur["sample"],
+        inlier_count=cur["inliers"],
+        mean_error=cur["mean_error"],
+        success=cur["success"],
         valid=jnp.any(results.valid),
     )

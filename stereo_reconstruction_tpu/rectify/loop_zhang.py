@@ -190,6 +190,12 @@ def _cholesky_tolerant(A: np.ndarray) -> np.ndarray:
                         v = -v
                     else:
                         raise np.linalg.LinAlgError("matrix not PSD within tolerance")
+                # A is rank-2 by construction (PP^T has a zero diagonal,
+                # _compute_AB), so the last pivot is ~0. The reference's
+                # f64 rounding leaves a tiny nonzero pivot and inverts it
+                # (rectification.cpp:385); exact zeros must be nudged the
+                # same way or D is singular.
+                v = max(v, 1e-18)
                 L[i, j] = np.sqrt(v)
             else:
                 L[i, j] = v / L[j, j]

@@ -37,3 +37,7 @@ def middeval_root():
     if not os.path.isdir(REFERENCE_DATA):
         pytest.skip("MiddEval3 data not available")
     return REFERENCE_DATA
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running (interpret-mode kernels)")
