@@ -53,7 +53,7 @@ def _kernel(
     right_ref,           # (3, 1, Wp)  row s of the right image
     right_y_ref,         # (3, 1, Wp)  row y = s - (hw-1) of the right image
     # output
-    disp_ref,            # (1, TW) disparity row y, tile wt
+    disp_ref,            # (8, TW) disparity rows [8*(y//8), ...), tile wt
     # scratch
     ring_ref,            # (hw, D, TW) f32 ring of x-windowed dsq rows
     prev_disp_ref,       # (1, TW) f32 previous output row's disparities
@@ -86,35 +86,35 @@ def _kernel(
     # ------------------------------------------------------------------
     @pl.when(s < H - 1)          # the last row never participates in windows
     def _fill_ring():
-        lrow = left_ref[:, 0, :]                   # (3, WLp)
-        rrow = right_ref[:, 0, :]                  # (3, Wp)
-
-        # dsq at global columns [x0-hbs, x0+TW+hbs) for all D candidates.
-        # Build the (D, TW+hw) matrix by static slices of the padded rows.
-        # Columns < 0 or >= W-1 contribute zero (reference last-col clip).
-        base = x0 - hbs + hbs  # index into rrow_pad below (shifted by hbs)
-        rpad = jnp.pad(rrow, ((0, 0), (hbs, hbs + hw)))     # guard both ends
-        lpad = jnp.pad(lrow, ((0, 0), (hbs, hbs + hw + D)))
-        rslice = lax.dynamic_slice(rpad, (0, x0), (3, TW + hw))    # cols x0-hbs..
+        # inputs are pre-padded host-side by hbs on the left (the left
+        # image additionally pre-shifted by min_d), so padded index =
+        # global column + hbs; all dynamic lane starts below are 128-
+        # aligned (Mosaic requires statically provable alignment):
+        # x0 = wt*TW with TW % 128 == 0, chunk bases add multiples of 128.
+        # dsq lives at global columns [x0-hbs, x0+TW+hbs); columns < 0 or
+        # >= W-1 contribute zero (reference last-col clip).
+        x0a = pl.multiple_of(x0, 128)
+        rslice = right_ref[0, :, pl.ds(x0a, TW + hw)]       # (3, TW+hw)
         col_ids = x0 - hbs + lax.broadcasted_iota(jnp.int32, (1, TW + hw), 1)
         col_ok = (col_ids >= 0) & (col_ids < W - 1)
 
-        def one_d(i, _):
-            d = min_d + i
-            # left cols = (x0 - hbs + j) + d  -> lpad index x0 + j + d
-            ls = lax.dynamic_slice(lpad, (0, x0 + d), (3, TW + hw))
-            diff = ls - rslice
-            dsq = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, TW+hw)
-            dsq = jnp.where(col_ok, dsq, 0.0)
-            # x-window sliding sum of width hw:
-            # out[x] = sum_{k=0}^{hw-1} dsq[x - hbs + k] for x in [x0, x0+TW)
-            acc = jnp.zeros((1, TW), f32)
-            for k in range(hw):
-                acc = acc + lax.dynamic_slice(dsq, (0, k), (1, TW))
-            ring_ref[s % hw, i, :] = acc[0]
-            return _
-
-        lax.fori_loop(0, D, one_d, None, unroll=8)
+        # disparities in aligned chunks of 128: one aligned load per chunk,
+        # then 128 static in-register shifts (fully unrolled)
+        for dc in range(0, D, 128):
+            ls_chunk = left_ref[
+                0, :, pl.ds(pl.multiple_of(x0a + dc, 128), TW + hw + 128)
+            ]                                               # (3, TW+hw+128)
+            for j in range(min(128, D - dc)):
+                ls = ls_chunk[:, j : j + TW + hw]
+                diff = ls - rslice
+                dsq = jnp.sum(diff * diff, axis=0, keepdims=True)
+                dsq = jnp.where(col_ok, dsq, 0.0)
+                # x-window sliding sum of width hw (static shifts):
+                # out[x] = sum_k dsq[x - hbs + k] for x in [x0, x0+TW)
+                acc = jnp.zeros((1, TW), f32)
+                for k in range(hw):
+                    acc = acc + dsq[:, k : k + TW]
+                ring_ref[s % hw, dc + j, :] = acc[0]
 
     # ------------------------------------------------------------------
     # 2) assemble + resolve output row y (when it exists)
@@ -177,13 +177,14 @@ def _kernel(
             left_disp = jnp.where(first_col, first_left, pltpu.roll(disp, 1, 1))
             disp = resolve(left_disp)
 
-        # black right pixels stay 0 (reference skip)
-        rrow_y = right_y_ref[:, 0, :]                              # (3, Wp)
-        rseg = lax.dynamic_slice(rrow_y, (0, x0), (3, TW))
+        # black right pixels stay 0 (reference skip); aligned load at x0
+        # then static shift by the hbs front-pad
+        rseg_a = right_y_ref[0, :, pl.ds(pl.multiple_of(x0, 128), TW + 128)]
+        rseg = rseg_a[:, hbs : hbs + TW]                           # (3, TW)
         black = jnp.all(rseg == 0, axis=0, keepdims=True)          # (1, TW)
         disp = jnp.where(black, 0.0, disp)
 
-        disp_ref[...] = disp
+        disp_ref[jnp.remainder(y, 8), :] = disp[0]
         prev_disp_ref[...] = disp
         boundary_ref[0, y] = disp[0, TW - 1]
 
@@ -212,17 +213,30 @@ def pallas_block_search_right(
     TW = min(tile_width, _round_up(W, 128))
     n_wt = _cdiv(W, TW)
     Wp = n_wt * TW
-    WLp = _round_up(max(WL, Wp + config.max_disparity + hw), 128)
+    # padded widths covering every aligned kernel load:
+    #   left chunks reach x0 + round_up(D,128) + TW + hw + 128
+    #   right(+black) loads reach x0 + TW + 128
+    WLtot = hbs + Wp + _round_up(D, 128) + hw + 128
+    Wtot = hbs + Wp + 128
 
+    # layout (H, 3, Wpad): per-row blocks (1, 3, Wpad) satisfy the TPU
+    # tiling rule because the trailing two block dims equal the array dims.
+    # Front-padded by hbs so every kernel slice start is non-negative; the
+    # left image is additionally pre-shifted by min_disparity so kernel
+    # chunk bases stay 128-aligned.
+    left_s = left[:, config.min_disparity :, :] if config.min_disparity else left
+    WLs = left_s.shape[1]
     left_t = jnp.transpose(
-        jnp.pad(left, ((0, 0), (0, WLp - WL), (0, 0))), (2, 0, 1)
-    )                                                      # (3, H, WLp)
+        jnp.pad(left_s, ((0, 0), (hbs, max(0, WLtot - hbs - WLs)), (0, 0))),
+        (0, 2, 1),
+    )[:, :, :WLtot]                                        # (H, 3, WLtot)
     right_t = jnp.transpose(
-        jnp.pad(right, ((0, 0), (0, Wp - W), (0, 0))), (2, 0, 1)
-    )                                                      # (3, H, Wp)
+        jnp.pad(right, ((0, 0), (hbs, Wtot - hbs - W, ), (0, 0))), (0, 2, 1)
+    )                                                      # (H, 3, Wtot)
 
     n_steps = H + hbs - 1
     Hpad = _round_up(H, 128)
+    Hp8 = _round_up(H, 8)
 
     kernel = functools.partial(
         _kernel,
@@ -237,8 +251,8 @@ def pallas_block_search_right(
         H=H,
         W=W,
         WL=WL,
-        WLp=WLp,
-        Wp=Wp,
+        WLp=WLtot,
+        Wp=Wtot,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -246,22 +260,25 @@ def pallas_block_search_right(
         grid=(n_wt, n_steps),
         in_specs=[
             pl.BlockSpec(
-                (3, 1, WLp), lambda wt, s, dims: (0, jnp.minimum(s, H - 1), 0)
+                (1, 3, WLtot), lambda wt, s, dims: (jnp.minimum(s, H - 1), 0, 0)
             ),
             pl.BlockSpec(
-                (3, 1, Wp), lambda wt, s, dims: (0, jnp.minimum(s, H - 1), 0)
+                (1, 3, Wtot), lambda wt, s, dims: (jnp.minimum(s, H - 1), 0, 0)
             ),
             pl.BlockSpec(
-                (3, 1, Wp),
+                (1, 3, Wtot),
                 lambda wt, s, dims: (
-                    0,
                     jnp.clip(s - (hbs - 1), 0, H - 1),
+                    0,
                     0,
                 ),
             ),
         ],
+        # 8-row output blocks (TPU sublane tiling); rows accumulate in the
+        # block buffer and flush when the mapped block index advances
         out_specs=pl.BlockSpec(
-            (1, TW), lambda wt, s, dims: (jnp.clip(s - (hbs - 1), 0, H - 1), wt)
+            (8, TW),
+            lambda wt, s, dims: (jnp.clip(s - (hbs - 1), 0, H - 1) // 8, wt),
         ),
         scratch_shapes=[
             pltpu.VMEM((hw, D, TW), jnp.float32),
@@ -276,12 +293,12 @@ def pallas_block_search_right(
 
     disp = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, Wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Hp8, Wp), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(dims, left_t, right_t, right_t)
 
-    return disp[:, :W]
+    return disp[:H, :W]
 
 
 def _cdiv(a: int, b: int) -> int:
