@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--quick", action="store_true", help="quarter resolution")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
 
     if args.platform:

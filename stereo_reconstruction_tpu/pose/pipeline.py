@@ -65,9 +65,15 @@ def estimate_pose_from_matches(
     )
     R, T = rr.rotation, rr.translation
 
-    # triangulate all matches under the RANSAC pose (pose_estimation.cpp:44-53)
-    xl = geo.normalize_points(K_left, matches_left)
-    xr = geo.normalize_points(K_right, matches_right)
+    # triangulate all matches under the RANSAC pose (pose_estimation.cpp:44-53).
+    # Padded/invalid columns are replaced by a copy of the first match: the
+    # depth triangulation couples every column through one eigen-system
+    # (eight_point.cpp:120-147), so garbage columns would corrupt all depths.
+    in_range_cols = (jnp.arange(n) < n_valid)[None, :]
+    safe_left = jnp.where(in_range_cols, matches_left, matches_left[:, :1])
+    safe_right = jnp.where(in_range_cols, matches_right, matches_right[:, :1])
+    xl = geo.normalize_points(K_left, safe_left)
+    xr = geo.normalize_points(K_right, safe_right)
     depths = geo.triangulate_depths(xl, xr, R, T)
     pts_left = xl * depths[None, :]
     pts_right = geo.transform(R, T, pts_left)

@@ -231,7 +231,7 @@ def main():
 
     F = None
     if len(sel) >= 8 and not args.skip_ba:
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_BASELINE_PLATFORM", "cpu")
         import dataclasses
         import jax.numpy as jnp
 
