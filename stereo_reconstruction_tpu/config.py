@@ -32,6 +32,23 @@ class FrontendConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB-style binary frontend for the uncalibrated path (reference
+    rectification_main.cpp:33-44: cv::ORB::create(500, 1.2f, 4, 21, 0, 2,
+    HARRIS_SCORE, 21, 20))."""
+
+    max_keypoints: int = 500          # nfeatures
+    scale_factor: float = 1.2         # pyramid scaleFactor
+    num_levels: int = 4               # nlevels
+    edge_margin: int = 21             # edgeThreshold (border margin, px)
+    fast_threshold: float = 20.0      # fastThreshold (intensity DN)
+    fast_arc: int = 9                 # FAST-9/16 contiguous-arc length
+    harris_k: float = 0.04            # HARRIS_SCORE k
+    patch_size: int = 21              # patchSize (orientation + BRIEF)
+    num_bits: int = 256               # BRIEF descriptor length (WTA_K=2)
+
+
+@dataclasses.dataclass(frozen=True)
 class RansacConfig:
     """Parallel-hypothesis RANSAC for the eight-point solve.
 
@@ -144,6 +161,7 @@ class ShardingConfig:
 @dataclasses.dataclass(frozen=True)
 class PipelineConfig:
     frontend: FrontendConfig = FrontendConfig()
+    orb: OrbConfig = OrbConfig()
     ransac: RansacConfig = RansacConfig()
     ba: BundleAdjustmentConfig = BundleAdjustmentConfig()
     rectify: RectifyConfig = RectifyConfig()

@@ -82,6 +82,43 @@ def match_descriptors(
     )
 
 
+@jax.jit
+def match_descriptors_binary(
+    kp_left: Keypoints,
+    kp_right: Keypoints,
+) -> Matches:
+    """Brute-force Hamming matching with mutual cross-check — the
+    semantics of the reference's ``cv::BFMatcher(NORM_HAMMING, true)``
+    (``src/rectification_main.cpp:85``; plain nearest match, no ratio
+    test).
+
+    Descriptors are {0,1} float matrices (ops/binary_features.py), so
+    Hamming(a, b) = |a| + |b| - 2 a.b: the full (K x K) distance matrix
+    is one MXU Gram matmul — the TPU-native form of brute force.
+    """
+    dl = kp_left.descriptors                      # (K, bits) in {0,1}
+    dr = kp_right.descriptors
+    K = dl.shape[0]
+
+    gram = dl @ dr.T
+    ham = jnp.sum(dl, axis=1)[:, None] + jnp.sum(dr, axis=1)[None, :] - 2.0 * gram
+    ham = jnp.where(kp_right.valid[None, :], ham, jnp.inf)
+
+    nn = jnp.argmin(ham, axis=1)                  # left -> right
+    d1 = jnp.take_along_axis(ham, nn[:, None], axis=1)[:, 0]
+
+    # crossCheck=true: keep (i, j) only if i is also j's nearest left
+    ham_l = jnp.where(kp_left.valid[:, None], ham, jnp.inf)
+    back = jnp.argmin(ham_l, axis=0)              # right -> left
+    valid = kp_left.valid & jnp.isfinite(d1) & (back[nn] == jnp.arange(K))
+
+    left_xy = kp_left.xy
+    right_xy = kp_right.xy[nn]
+    valid = _filter_duplicate_positions(left_xy, valid)
+
+    return Matches(left_xy=left_xy, right_xy=right_xy, distance=d1, valid=valid)
+
+
 def _filter_duplicate_positions(xy: jnp.ndarray, valid: jnp.ndarray, tol: float = 1e-4):
     """Keep the first occurrence among (near-)duplicate positions
     (reference uniqueColumnsInMatrix, utils.cpp:77-95, tol 1e-4)."""

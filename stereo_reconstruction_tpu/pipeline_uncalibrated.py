@@ -3,9 +3,12 @@
 Equivalent of ``src/rectification_main.cpp:157-217``: detect + match
 features, estimate F directly with RANSAC (no intrinsics), Loop-Zhang
 rectify, run the linear (1x1) search, re-estimate F on the rectified pair.
-The reference's ORB/BRISK + Hamming matching is served by the framework's
-DoG frontend + descriptor matmul (the matcher is detector-agnostic); the
-F path is the normalized-8-point RANSAC of pose/fundamental.py.
+The reference's ORB + Hamming matching (rectification_main.cpp:26-112)
+maps to ops/binary_features.py (FAST/Harris/rBRIEF) with brute-force
+Hamming cross-check matching as one MXU matmul; a DoG/SIFT frontend is
+available via ``detector="dog"``. The F path is the normalized-8-point
+RANSAC of pose/fundamental.py (cv::findFundamentalMat FM_8POINT|FM_RANSAC
+equivalent).
 """
 
 from __future__ import annotations
@@ -18,10 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from stereo_reconstruction_tpu.config import PipelineConfig
+from stereo_reconstruction_tpu.ops.binary_features import detect_and_describe_orb
 from stereo_reconstruction_tpu.ops.features import detect_and_describe
 from stereo_reconstruction_tpu.ops.linear_search import linear_search
 from stereo_reconstruction_tpu.ops.matching import (
     match_descriptors,
+    match_descriptors_binary,
     matches_to_homogeneous,
 )
 from stereo_reconstruction_tpu.pose.fundamental import ransac_fundamental
@@ -43,11 +48,21 @@ def run_uncalibrated(
     image_right,
     config: PipelineConfig = PipelineConfig(),
     key=None,
+    detector: str = "orb",
 ) -> UncalibratedResult:
+    """``detector``: "orb" = binary FAST/rBRIEF + brute-force Hamming
+    cross-check (the reference's default, rectification_main.cpp:126-129);
+    "dog" = the calibrated path's DoG/SIFT frontend + L2 ratio matching.
+    """
     key = jax.random.key(config.seed) if key is None else key
-    kp_l = detect_and_describe(jnp.asarray(image_left), config.frontend)
-    kp_r = detect_and_describe(jnp.asarray(image_right), config.frontend)
-    matches = match_descriptors(kp_l, kp_r, config.frontend)
+    if detector == "orb":
+        kp_l = detect_and_describe_orb(jnp.asarray(image_left), config.orb)
+        kp_r = detect_and_describe_orb(jnp.asarray(image_right), config.orb)
+        matches = match_descriptors_binary(kp_l, kp_r)
+    else:
+        kp_l = detect_and_describe(jnp.asarray(image_left), config.frontend)
+        kp_r = detect_and_describe(jnp.asarray(image_right), config.frontend)
+        matches = match_descriptors(kp_l, kp_r, config.frontend)
     ml, mr, valid = matches_to_homogeneous(matches)
 
     order = np.argsort(~np.asarray(valid), kind="stable")
