@@ -24,6 +24,12 @@ from jax import lax
 from stereo_reconstruction_tpu.ops import smoothing
 
 
+def _with_channels(img: jnp.ndarray) -> jnp.ndarray:
+    """Accept (H, W) grayscale by promoting to a single channel."""
+    img = img.astype(jnp.float32)
+    return img[..., None] if img.ndim == 2 else img
+
+
 @functools.partial(jax.jit, static_argnames=("search_range",))
 def cost_volume_linear(
     left: jnp.ndarray,     # (H, WL, 3) float32
@@ -31,8 +37,8 @@ def cost_volume_linear(
     search_range: int = 200,
 ) -> jnp.ndarray:
     """(D, H, W) per-pixel distance volume; +inf = invalid candidate."""
-    left = left.astype(jnp.float32)
-    right = right.astype(jnp.float32)
+    left = _with_channels(left)
+    right = _with_channels(right)
     h, w = right.shape[:2]
     wl = left.shape[1]
 
@@ -59,6 +65,8 @@ def linear_search(
     iters: int = 2,
 ) -> jnp.ndarray:
     """(H, W) disparity of the right image (LinearSearch semantics)."""
+    left = _with_channels(left)
+    right = _with_channels(right)
     cost = cost_volume_linear(left, right, search_range)
     dvals = jnp.arange(search_range)
     # reference quirk: black-skip tests the LEFT image

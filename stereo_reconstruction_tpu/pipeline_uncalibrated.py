@@ -49,10 +49,14 @@ def run_uncalibrated(
     config: PipelineConfig = PipelineConfig(),
     key=None,
     detector: str = "orb",
+    output_dir: str = None,
 ) -> UncalibratedResult:
     """``detector``: "orb" = binary FAST/rBRIEF + brute-force Hamming
     cross-check (the reference's default, rectification_main.cpp:126-129);
     "dog" = the calibrated path's DoG/SIFT frontend + L2 ratio matching.
+
+    ``output_dir``: when given, writes the rectified pair with rendered
+    epilines + the disparity map as PNGs (rectification_main.cpp:204-214).
     """
     key = jax.random.key(config.seed) if key is None else key
     if detector == "orb":
@@ -101,7 +105,7 @@ def run_uncalibrated(
         )
         F_rect = np.asarray(fr2.F, np.float64)
 
-    return UncalibratedResult(
+    result = UncalibratedResult(
         F=F,
         F_rectified=F_rect,
         disparity=np.asarray(disparity),
@@ -109,3 +113,26 @@ def run_uncalibrated(
         rectified_right=np.asarray(rect.right),
         num_inliers=int(fr.num_inliers),
     )
+
+    if output_dir:
+        import os
+
+        from stereo_reconstruction_tpu.io.image import write_image
+        from stereo_reconstruction_tpu.rectify.epilines import (
+            draw_rectified_epilines,
+        )
+
+        os.makedirs(output_dir, exist_ok=True)
+        el, er = result.rectified_left, result.rectified_right
+        if F_rect is not None and rect.matches_left is not None:
+            el, er = draw_rectified_epilines(
+                el, er, F_rect,
+                np.asarray(rect.matches_left).T,
+                np.asarray(rect.matches_right).T,
+            )
+        write_image(os.path.join(output_dir, "rectified_left.png"), el)
+        write_image(os.path.join(output_dir, "rectified_right.png"), er)
+        write_image(os.path.join(output_dir, "disparity_linear.png"),
+                    result.disparity)
+
+    return result

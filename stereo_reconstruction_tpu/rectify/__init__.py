@@ -7,3 +7,9 @@ from stereo_reconstruction_tpu.rectify.rectifier import (  # noqa: F401
     rectify_pair,
     disparity_to_original_frame,
 )
+from stereo_reconstruction_tpu.rectify.epilines import (  # noqa: F401
+    draw_epilines,
+    draw_rectified_epilines,
+    epipolar_lines,
+    epipole,
+)
