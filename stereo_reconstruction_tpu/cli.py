@@ -33,6 +33,12 @@ def main(argv=None):
     run_p.add_argument("--mesh", action="store_true")
     run_p.add_argument("--downsample", type=int, default=1)
     run_p.add_argument("--max-disparity", type=int, default=200)
+    run_p.add_argument("--matcher", default="ssd",
+                       choices=["ssd", "sad", "ncc", "perceptual"],
+                       help="dense matching cost (perceptual = LPIPS search)")
+    run_p.add_argument("--weights", default="",
+                       help="converted VGG/LPIPS weights .npz for --matcher "
+                            "perceptual (default: deterministic He-init)")
     run_p.add_argument("--png-compat", action="store_true",
                        help="quantize disparity through uint8 PNG like the reference")
 
@@ -91,7 +97,10 @@ def _cmd_run(args):
 
     config = PipelineConfig()
     config = config.replace(
-        matcher=dataclasses.replace(config.matcher, max_disparity=args.max_disparity)
+        matcher=dataclasses.replace(
+            config.matcher, max_disparity=args.max_disparity, cost=args.matcher
+        ),
+        perceptual=dataclasses.replace(config.perceptual, weights_path=args.weights),
     )
     ds = MiddEval3(args.data)
     for idx in args.scenario:

@@ -43,6 +43,10 @@ def block_search_right(
         cost = cv.cost_volume_right_ncc(
             left, right, config.block_size, config.min_disparity, config.max_disparity
         )
+    elif config.cost == "sad":
+        cost = cv.cost_volume_right_sad(
+            left, right, config.block_size, config.min_disparity, config.max_disparity
+        )
     else:
         cost = cv.cost_volume_right_ssd(
             left, right, config.block_size, config.min_disparity, config.max_disparity

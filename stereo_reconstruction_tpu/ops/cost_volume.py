@@ -237,6 +237,53 @@ def cost_volume_left_ssd(
 @functools.partial(
     jax.jit, static_argnames=("block_size", "min_disparity", "max_disparity", "d_chunk")
 )
+def cost_volume_right_sad(
+    left: jnp.ndarray,    # (H, W_l, 3) float32
+    right: jnp.ndarray,   # (H, W, 3) float32
+    block_size: int = 17,
+    min_disparity: int = 0,
+    max_disparity: int = 200,
+    d_chunk: int = 32,
+) -> jnp.ndarray:
+    """Right-variant SAD cost volume, shape (D, H, W), +inf = invalid.
+
+    Framework extension (the reference matcher is SSD-only,
+    BlockSearch.cpp:156-158): window sum of per-channel |diff|, normalized
+    by window area like the Right SSD variant — more outlier-robust than
+    SSD and one multiply cheaper per element.
+    """
+    h, w = right.shape[:2]
+    w_l = left.shape[1]
+    hbs = (block_size - 1) // 2
+
+    _, right_ext, _, _, area = right_window_geometry(h, w, block_size)
+    inv_area = jnp.where(area > 0, 1.0 / jnp.maximum(area, 1.0), jnp.inf)
+
+    pad_w = max(0, w + max_disparity - w_l)
+    left_p = jnp.pad(left, ((0, 0), (0, pad_w), (0, 0)))
+
+    xs = jnp.arange(w)
+
+    def one_disparity(d):
+        shifted = lax.dynamic_slice_in_dim(left_p, d, w, axis=1)
+        dabs = jnp.sum(jnp.abs(shifted - right), axis=-1)
+        win = _clipped_window_sum(dabs, hbs)
+        cost = win * inv_area
+        valid = (xs[None, :] + d + right_ext[None, :]) < w_l
+        return jnp.where(valid & (area > 0), cost, jnp.inf)
+
+    D = max_disparity - min_disparity
+    dvals = jnp.arange(min_disparity, max_disparity)
+    d_chunk = max(1, min(d_chunk, D))
+    n_pad = (-D) % d_chunk
+    dvals_p = jnp.concatenate([dvals, jnp.full((n_pad,), max_disparity)])
+    out = lax.map(lambda dc: jax.vmap(one_disparity)(dc), dvals_p.reshape(-1, d_chunk))
+    return out.reshape(-1, h, w)[:D]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_size", "min_disparity", "max_disparity", "d_chunk")
+)
 def cost_volume_right_ncc(
     left: jnp.ndarray,
     right: jnp.ndarray,

@@ -1,4 +1,5 @@
 from stereo_reconstruction_tpu.perceptual.vgg import (  # noqa: F401
+    get_params,
     init_vgg16_params,
     load_params_npz,
     save_params_npz,

@@ -89,10 +89,15 @@ def lpips_cost_volume(
         c1 = stage_cost[jnp.clip(k0 + 1, 0, max_shift - 1)]
         vol_s = c0 * (1 - frac)[:, None, None] + c1 * frac[:, None, None]
 
-        # spatial upsample to (H, W) by nearest (stage stride replication)
+        # spatial upsample to (H, W) by nearest (stage stride replication);
+        # when H/W are not stride-multiples the VGG pools floor the stage
+        # size, so edge-replicate the last row/col up to the full canvas
         if stride > 1:
             vol_s = jnp.repeat(jnp.repeat(vol_s, stride, axis=1), stride, axis=2)
         vol_s = vol_s[:, :h, :w]
+        pad_h, pad_w = h - vol_s.shape[1], w - vol_s.shape[2]
+        if pad_h > 0 or pad_w > 0:
+            vol_s = jnp.pad(vol_s, ((0, 0), (0, pad_h), (0, pad_w)), mode="edge")
         total = total + vol_s
 
     # invalid candidates: x + d beyond the left image

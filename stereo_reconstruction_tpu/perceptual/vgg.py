@@ -58,6 +58,16 @@ def init_vgg16_params(seed: int = 0, with_lins: bool = True) -> Dict:
     return params
 
 
+@functools.lru_cache(maxsize=4)
+def get_params(weights_path: str = "", seed: int = 0) -> Dict:
+    """Load converted LPIPS weights when a path is configured, else the
+    documented deterministic He-init fallback (no downloadable weights in
+    this environment)."""
+    if weights_path:
+        return load_params_npz(weights_path)
+    return init_vgg16_params(seed)
+
+
 def save_params_npz(path: str, params: Dict) -> None:
     flat = {}
     for bi, block in enumerate(params["convs"]):

@@ -89,6 +89,25 @@ def estimate_pose(pair: StereoPair, config: PipelineConfig, key=None) -> PoseEst
     )
 
 
+def compute_disparity(left, right, config: PipelineConfig) -> jnp.ndarray:
+    """Dense right-image disparity on a rectified pair, dispatched on
+    ``config.matcher.cost``: the window-search matcher (ssd/sad/ncc,
+    reference BlockSearch.cpp:88-179) or the perceptual LPIPS search
+    (reference notebook cells 6-10, BASELINE config 3)."""
+    if config.matcher.cost == "perceptual":
+        from stereo_reconstruction_tpu.perceptual import (
+            get_params,
+            perceptual_window_search,
+        )
+
+        pcfg = dataclasses.replace(
+            config.perceptual, max_disparity=config.matcher.max_disparity
+        )
+        params = get_params(pcfg.weights_path, seed=config.seed)
+        return perceptual_window_search(params, left, right, pcfg)
+    return block_search_right(left, right, config.matcher)
+
+
 def run_pair(
     pair: StereoPair,
     config: PipelineConfig = PipelineConfig(),
@@ -116,7 +135,7 @@ def run_pair(
     timings["rectify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    disp_rect = block_search_right(rect.left, rect.right, config.matcher)
+    disp_rect = compute_disparity(rect.left, rect.right, config)
     disparity = disparity_to_original_frame(
         disp_rect,
         rect.homographies.H_right,

@@ -119,3 +119,39 @@ def test_texture_measure_matches_oracle(rng):
         u = min(y, 2); d = min(16 - y - 1, 2)
         want = oracle._texture(right, x, y, l, r, u, d)
         np.testing.assert_allclose(tex[y, x], want, rtol=1e-4, atol=0.5)
+
+
+def test_sad_cost_recovers_shift(rng):
+    """SAD cost (framework extension) recovers the synthetic disparity and
+    matches a direct NumPy evaluation of |diff| window sums / area."""
+    left, right = _random_stereo(rng, h=24, w=40, max_d=8, noise=2)
+    cfg = MatcherConfig(block_size=7, min_disparity=0, max_disparity=10,
+                        smooth_factor=0.9, row_smooth_iters=2, cost="sad")
+    got = np.asarray(block_search.block_search_right(
+        jnp.asarray(left), jnp.asarray(right), cfg
+    ))
+    assert got.shape == (24, 40)
+    # direct check of one plane: d = 3
+    d = 3
+    vol = np.asarray(cv.cost_volume_right_sad(
+        jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+        block_size=7, min_disparity=0, max_disparity=10,
+    ))
+    h, w = right.shape[:2]
+    hbs = 3
+    diff = np.zeros((h, w))
+    shifted = np.zeros_like(left, np.float64)
+    shifted[:, : w - d] = left[:, d:]
+    diff = np.abs(shifted - right.astype(np.float64)).sum(-1)
+    want = np.full((h, w), np.inf)
+    for y in range(h):
+        for x in range(w):
+            y0, y1 = max(0, y - hbs), min(h - 1, y + hbs)
+            x0, x1 = max(0, x - hbs), min(w - 1, x + hbs)
+            area = (y1 - y0) * (x1 - x0)
+            rgt = min(w - 1 - x, hbs)
+            if area > 0 and x + d + rgt < left.shape[1]:
+                want[y, x] = diff[y0:y1, x0:x1].sum() / area
+    finite = np.isfinite(want)
+    np.testing.assert_array_equal(np.isfinite(vol[d]), finite)
+    np.testing.assert_allclose(vol[d][finite], want[finite], rtol=1e-5, atol=1e-4)
