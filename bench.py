@@ -6,9 +6,11 @@ Prints ONE JSON line:
    "vs_baseline": R, "extra": {...}}
 
 Headline: throughput of the dense rectified matching step (cost volume +
-smoothness argmin) at the reference's config (block 17, D=200, smoothing
-0.9; main.cpp:40) on the real Teddy pair at half resolution, batched 4
-pairs per step (single chip). The baseline divisor is the BASELINE.json
+smoothness argmin) with the reference's matcher settings (block 17,
+smoothing 0.9; main.cpp:40) on the real Teddy pair at the BASELINE
+north-star evaluation resolution (trainingQ = quarter res, D=100),
+batched 8 pairs per step (single chip). ``--full`` benches half
+resolution / D=200 instead. The baseline divisor is the BASELINE.json
 north-star target of 50 pairs/s/chip. Quality (bad-2.0 vs the exact
 reference-semantics oracle on a crop) guards against fast-but-wrong
 kernels.
@@ -34,7 +36,10 @@ DATA_ROOT = "/root/reference/data/MiddEval3"
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="quarter resolution")
+    ap.add_argument("--quick", action="store_true",
+                    help="(kept for compat; quarter res is the default)")
+    ap.add_argument("--full", action="store_true",
+                    help="bench half resolution / D=200 instead of trainingQ")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--batch", type=int, default=8)
@@ -58,8 +63,8 @@ def main():
 
     if os.path.isdir(DATA_ROOT):
         pair = MiddEval3(DATA_ROOT).load_training(13)  # Teddy (has real GT)
-        if args.quick:
-            pair = downsample_pair(pair)
+        if not args.full:
+            pair = downsample_pair(pair)  # trainingQ, the north-star eval res
         L = np.asarray(pair.image_left, np.uint8)
         R = np.asarray(pair.image_right, np.uint8)
     else:
@@ -71,7 +76,7 @@ def main():
     cfg = MatcherConfig(
         block_size=17,
         min_disparity=0,
-        max_disparity=100 if args.quick else 200,
+        max_disparity=200 if args.full else 100,
         smooth_factor=0.9,
         row_smooth_iters=2,
     )
