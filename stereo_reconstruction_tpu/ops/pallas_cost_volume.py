@@ -1,0 +1,231 @@
+"""Band-parallel Pallas TPU kernel for the Right-variant SSD cost volume.
+
+The XLA path (ops/cost_volume.py) lowers each disparity plane's window
+sums as width-16 ``reduce_window`` passes over full HBM-resident planes —
+~64 unfused shifted-add sweeps per plane dominate its runtime. This
+kernel instead keeps a 24-row band of both images resident in VMEM and
+produces ALL disparity planes for 8 output rows per grid step, so HBM
+traffic is images-once-in + volume-once-out:
+
+  grid = (H/8, D/Dc)      # row band x disparity chunk (chunk innermost,
+                          # so the band blocks are fetched once per band)
+
+  Per step the kernel loops ``Dc`` disparities; for each it
+    1. slices the left band at lane offset d (``pl.ds``) and forms the
+       channel-summed squared difference against the right band,
+    2. zeroes contributions outside the reference window support
+       (rows/cols outside [0, H-1) x [0, W-1) — BlockSearch.cpp:116-123's
+       clipped windows are exactly the fixed 16x16 window intersected
+       with that region),
+    3. window-sums with 16 static sublane-shift adds (vertical) and 16
+       static lane-shift adds (horizontal) — all on (8, W) registers,
+    4. applies the reference cost transform sqrt(SSD)/area
+       (BlockSearch.cpp:156-158) and the candidate-validity /
+       zero-area masks (+inf), and stores one (8, W) plane.
+
+Output is the standard ``(D, H, W)`` cost volume consumed by
+ops/smoothing.py — a drop-in replacement for
+``cost_volume.cost_volume_right_ssd`` (validated in tests to agree with
+it and with the reference-semantics oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(
+    lband_ref,   # (1, 3*24, WLt) left band, rows 8i-hbs .. 8i+8+hbs-1, ch-major
+    rband_ref,   # (1, 3*24, Wt)  right band, same rows
+    cost_ref,    # (Dc, 8, Wout) output planes for this (band, chunk)
+    *,
+    Dc: int,
+    D: int,
+    hbs: int,
+    min_d: int,
+    H: int,
+    W: int,
+    WL: int,
+    Wbw: int,    # band compute width (lanes used of the right band)
+    Wout: int,
+):
+    i = pl.program_id(0)
+    dc = pl.program_id(1)
+    hw = 2 * hbs
+    band_rows = 8 + hw
+    f32 = jnp.float32
+
+    rb = rband_ref[0, :, :Wbw]                               # (3*br, Wbw)
+
+    # validity of each band element: global row in [0, H-1), col in [0, W-1)
+    # (the reference's clipped window support; lane p <-> global col p-hbs)
+    row_ids = 8 * i - hbs + lax.broadcasted_iota(jnp.int32, (band_rows, 1), 0)
+    rows_ok = (row_ids >= 0) & (row_ids < H - 1)             # (br, 1)
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, Wbw), 1) - hbs
+    cols_ok = (col_ids >= 0) & (col_ids < W - 1)             # (1, Wbw)
+    elem_ok = rows_ok & cols_ok                              # (br, Wbw)
+
+    # per-output-pixel clipped geometry (global coords)
+    xg = lax.broadcasted_iota(jnp.int32, (8, Wout), 1)       # global x
+    yg = 8 * i + lax.broadcasted_iota(jnp.int32, (8, Wout), 0)
+    lft = jnp.minimum(xg, hbs)
+    rgt = jnp.minimum(W - 1 - xg, hbs)
+    up = jnp.minimum(yg, hbs)
+    down = jnp.minimum(H - 1 - yg, hbs)
+    area = ((lft + rgt) * (up + down)).astype(f32)
+    pos_area = area > 0
+    inv_area = jnp.where(pos_area, 1.0 / jnp.maximum(area, 1.0), 1.0)
+
+    # dynamic lane starts must be 128-aligned on TPU: load one aligned
+    # chunk covering Dc (a multiple of 128) consecutive shifts, then take
+    # static in-register slices for each disparity (fully unrolled)
+    base = pl.multiple_of(dc * Dc, 128)
+    lc = lband_ref[0, :, pl.ds(base, Wbw + Dc)]              # (3*br, Wbw+Dc)
+
+    # horizontal window sum as ONE MXU matmul per group of GD disparities:
+    # h[x] = sum_{m<hw} v[x+m]  ==  v @ M with the banded 0/1 matrix
+    # M[p, x] = [x <= p < x+hw]  (p: band lane, x: output column)
+    p_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 0)
+    x_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 1)
+    band_mat = ((p_ids >= x_ids) & (p_ids < x_ids + hw)).astype(f32)
+
+    GD = 128 // 8                                            # disparities per matmul
+    inv_area_g = jnp.concatenate([inv_area] * GD, axis=0)    # (128, Wout)
+    pos_area_g = jnp.concatenate([pos_area] * GD, axis=0)
+    xg_g = jnp.concatenate([xg] * GD, axis=0)
+    rgt_g = jnp.concatenate([rgt] * GD, axis=0)
+    sub_d = lax.broadcasted_iota(jnp.int32, (8 * GD, Wout), 0) // 8
+
+    for g in range(Dc // GD):
+        vs = []
+        for t in range(GD):
+            j = g * GD + t
+            ls = lc[:, j : j + Wbw]                          # (3*br, Wbw)
+            diff = ls - rb
+            sq = diff * diff
+            dsq = (
+                sq[0 * band_rows : 1 * band_rows]
+                + sq[1 * band_rows : 2 * band_rows]
+                + sq[2 * band_rows : 3 * band_rows]
+            )                                                # (br, Wbw)
+            dsq = jnp.where(elem_ok, dsq, 0.0)
+            # vertical window sum (out row k needs band rows k..k+hw-1)
+            # as a doubling tree: O(log hw) shifted adds; sums[n][i] =
+            # sum of n consecutive band rows starting at i
+            sums = {1: dsq}
+            p = 1
+            while p * 2 <= hw:
+                s = sums[p]
+                sums[p * 2] = s[: s.shape[0] - p] + s[p:]
+                p *= 2
+            acc, off, bit = None, 0, p
+            while bit >= 1:
+                if hw & bit:
+                    term = sums[bit][off : off + 8]
+                    acc = term if acc is None else acc + term
+                    off += bit
+                bit //= 2
+            vs.append(acc)                                   # (8, Wbw)
+        v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
+        h = jax.lax.dot_general(
+            v, band_mat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                    # (128, Wout)
+
+        d0 = dc * Dc + g * GD
+        cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g
+        valid = (
+            pos_area_g
+            & ((xg_g + (min_d + d0) + sub_d + rgt_g) < WL)
+            & (d0 + sub_d < D)
+        )
+        cost = jnp.where(valid, cost, jnp.inf)
+        cost_ref[g * GD : (g + 1) * GD, :, :] = cost.reshape(GD, 8, Wout)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "min_disparity", "max_disparity",
+                     "d_chunk", "interpret"),
+)
+def pallas_cost_volume_right_ssd(
+    left: jnp.ndarray,    # (H, W_l, 3)
+    right: jnp.ndarray,   # (H, W, 3)
+    block_size: int = 17,
+    min_disparity: int = 0,
+    max_disparity: int = 200,
+    d_chunk: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Right-variant SSD cost volume, (D, H, W) f32, +inf = invalid.
+
+    Numerically matches ``cost_volume.cost_volume_right_ssd`` (same
+    integer-valued window sums; summation order differs only in f32
+    rounding beyond ~2^24).
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    H, W = right.shape[:2]
+    WL = left.shape[1]
+    hbs = (block_size - 1) // 2
+    hw = 2 * hbs
+    D = max_disparity - min_disparity
+
+    H8 = _cdiv(H, 8)
+    Dc = _round_up(max(1, min(d_chunk, D)), 128)  # aligned chunk loads
+    Dp = _round_up(D, Dc)
+    Wout = _round_up(W, 128)
+    Wbw = Wout + _round_up(hw, 128)
+    Wt = Wbw
+    WLt = Wbw + _round_up(Dp, 128)
+
+    # channel-major 24-row bands, front-padded by hbs lanes (lane p <->
+    # global col p - hbs); the left image pre-shifted by min_disparity so
+    # the kernel's lane offset is the plane index d
+    def bands(img, w_img, shift, total_w):
+        img = img[:, shift:, :] if shift else img
+        w_eff = img.shape[1]
+        pad_bottom = 8 * H8 + hbs + hw - (H + hbs)
+        p = jnp.pad(
+            img,
+            ((hbs, pad_bottom), (hbs, max(0, total_w - hbs - w_eff)), (0, 0)),
+        )[:, :total_w, :]
+        idx = 8 * jnp.arange(H8)[:, None] + jnp.arange(8 + hw)[None, :]
+        b = p[idx]                                   # (H8, br, total_w, 3)
+        return jnp.transpose(b, (0, 3, 1, 2)).reshape(H8, 3 * (8 + hw), total_w)
+
+    lband = bands(left, WL, min_disparity, WLt)
+    rband = bands(right, W, 0, Wt)
+
+    kernel = functools.partial(
+        _kernel, Dc=Dc, D=D, hbs=hbs, min_d=min_disparity,
+        H=H, W=W, WL=WL, Wbw=Wbw, Wout=Wout,
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(H8, Dp // Dc),
+        in_specs=[
+            pl.BlockSpec((1, 3 * (8 + hw), WLt), lambda i, dc: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * (8 + hw), Wt), lambda i, dc: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Dc, 8, Wout), lambda i, dc: (dc, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((Dp, 8 * H8, Wout), jnp.float32),
+        interpret=interpret,
+    )(lband, rband)
+
+    return out[:D, :H, :W]
