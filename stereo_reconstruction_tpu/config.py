@@ -114,6 +114,11 @@ class MatcherConfig:
     max_disparity: int = 200
     smooth_factor: float = 0.9
     cost: str = "ssd"                 # "ssd" | "sad" | "ncc" | "perceptual"
+    # cost-volume backend: "pallas" = the band-parallel TPU kernel
+    # (ops/pallas_cost_volume.py), "xla" = separable reduce_window planes
+    # (ops/cost_volume.py), "auto" = pallas on TPU / xla elsewhere. The two
+    # agree bit-for-bit on integer-valued window sums (tests/test_pallas_cost_volume.py).
+    backend: str = "auto"
     # variable-window mode (BlockSearch.cpp:129-142): grow block while
     # window texture ||win - mean|| < texture_threshold. TPU version selects
     # among a bounded set of block sizes by texture mask.

@@ -23,7 +23,18 @@ from jax import lax
 
 from stereo_reconstruction_tpu.config import MatcherConfig
 from stereo_reconstruction_tpu.ops import cost_volume as cv
+from stereo_reconstruction_tpu.ops import pallas_cost_volume as pcv
 from stereo_reconstruction_tpu.ops import smoothing
+
+
+def _use_pallas(config: MatcherConfig) -> bool:
+    """Resolve the cost-volume backend (trace-time decision; config is a
+    static jit argument so this never ends up inside the compiled graph)."""
+    if config.backend == "pallas":
+        return True
+    if config.backend == "auto":
+        return jax.default_backend() == "tpu"
+    return False
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -45,6 +56,10 @@ def block_search_right(
         )
     elif config.cost == "sad":
         cost = cv.cost_volume_right_sad(
+            left, right, config.block_size, config.min_disparity, config.max_disparity
+        )
+    elif _use_pallas(config):
+        cost = pcv.pallas_cost_volume_right_ssd(
             left, right, config.block_size, config.min_disparity, config.max_disparity
         )
     else:

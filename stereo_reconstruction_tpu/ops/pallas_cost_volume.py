@@ -17,16 +17,21 @@ traffic is images-once-in + volume-once-out:
        (rows/cols outside [0, H-1) x [0, W-1) — BlockSearch.cpp:116-123's
        clipped windows are exactly the fixed 16x16 window intersected
        with that region),
-    3. window-sums with 16 static sublane-shift adds (vertical) and 16
-       static lane-shift adds (horizontal) — all on (8, W) registers,
+    3. window-sums vertically with an O(log hw) doubling tree of
+       sublane-shift adds, and horizontally with ONE MXU matmul per group
+       of 16 disparities against a banded 0/1 matrix
+       (``h[x] = sum_{m<hw} v[x+m]  ==  v @ M``, ``M[p,x] = [x <= p < x+hw]``),
     4. applies the reference cost transform sqrt(SSD)/area
        (BlockSearch.cpp:156-158) and the candidate-validity /
        zero-area masks (+inf), and stores one (8, W) plane.
 
 Output is the standard ``(D, H, W)`` cost volume consumed by
 ops/smoothing.py — a drop-in replacement for
-``cost_volume.cost_volume_right_ssd`` (validated in tests to agree with
-it and with the reference-semantics oracle).
+``cost_volume.cost_volume_right_ssd``; tests/test_pallas_cost_volume.py
+checks interpret-mode agreement with it and with the reference-semantics
+oracle, and bench.py's quality guard exercises the Mosaic-compiled kernel
+on TPU against the oracle. This is the production Right-SSD path on TPU
+(ops/block_search.py selects it via ``MatcherConfig.backend``).
 """
 
 from __future__ import annotations

@@ -1,0 +1,186 @@
+#!/usr/bin/env python3
+"""Full MiddEval3 trainingQ evaluation: all 15 scenes, SSD + NCC configs.
+
+For every trainingH scene (downsampled to trainingQ):
+  1. reproduce the reference pipeline's own output (tools/reference_baseline)
+     — cached under baselines/<Scene>_ds1_baseline_disp.pfm;
+  2. run the framework pipeline (pose -> Loop-Zhang rectify -> window
+     search -> back-warp -> outlier clamp), SSD config-1 semantics and the
+     NCC config-2 variant (BASELINE.json configs[0:2]);
+  3. score vs real GT where it ships (Teddy, ArtL — the other 13 scenes'
+     GT PFMs are absent from this checkout) and vs the reference
+     reproduction's disparity everywhere (parity metric);
+  4. record per-scene pose (ours + baseline) for the ATE gate.
+
+Writes baselines/full_eval.json + a markdown table to stdout.
+
+Usage:
+  PYTHONPATH= JAX_PLATFORMS=cpu python tools/full_eval.py [--scenes 0,5,8,12,13]
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINES = os.path.join(REPO, "baselines")
+
+
+def evaldisp_np(disp, gt, mask, badthresh=2.0, maxdisp=1e9):
+    known = np.isfinite(gt)
+    evaluated = known & (mask == 255)
+    valid = disp != 0
+    d = np.where(valid, np.clip(disp, 0, maxdisp), disp)
+    err = np.abs(d - gt)
+    n = int(evaluated.sum())
+    n_valid = int((evaluated & valid).sum())
+    bad = int((evaluated & valid & (err > badthresh)).sum())
+    serr = float(err[evaluated & valid].sum())
+    return {
+        "bad_percent": 100.0 * bad / max(n, 1),
+        "invalid_percent": 100.0 * (n - n_valid) / max(n, 1),
+        "total_bad_percent": 100.0 * (bad + n - n_valid) / max(n, 1),
+        "avg_err": serr / max(n_valid, 1),
+    }
+
+
+def baseline_for(pair, idx, force=False):
+    """Reference reproduction, cached to baselines/."""
+    from stereo_reconstruction_tpu.io.pfm import read_pfm, write_pfm
+
+    stem = os.path.join(BASELINES, f"{pair.name}_ds1")
+    pfm = stem + "_baseline_disp.pfm"
+    js = stem + "_baseline.json"
+    if not force and os.path.isfile(pfm) and os.path.isfile(js):
+        with open(js) as f:
+            rec = json.load(f)
+        if "pose" in rec:
+            return read_pfm(pfm)[0], rec
+    from reference_baseline import run_reference_baseline
+
+    t0 = time.time()
+    disp, pose, metrics = run_reference_baseline(pair, downsample=1, seed=0)
+    rec = {"metrics": metrics, "scenario": pair.name, "pose": pose,
+           "downsample": 1, "max_disparity": 100,
+           "seconds": round(time.time() - t0, 1)}
+    os.makedirs(BASELINES, exist_ok=True)
+    write_pfm(pfm, disp.astype(np.float32))
+    with open(js, "w") as f:
+        json.dump(rec, f, indent=2)
+    return disp, rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/data/MiddEval3")
+    ap.add_argument("--scenes", default="",
+                    help="comma-separated indices (default: all 15)")
+    ap.add_argument("--configs", default="ssd,ncc")
+    ap.add_argument("--out", default=os.path.join(BASELINES, "full_eval.json"))
+    ap.add_argument("--force-baseline", action="store_true")
+    args = ap.parse_args()
+
+    from stereo_reconstruction_tpu.config import PipelineConfig
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+    from stereo_reconstruction_tpu.pipeline import run_pair
+
+    ds = MiddEval3(args.data)
+    n_scenes = ds.num_training
+    scenes = ([int(s) for s in args.scenes.split(",") if s != ""]
+              if args.scenes else list(range(n_scenes)))
+    configs = args.configs.split(",")
+
+    base = PipelineConfig()
+    base = base.replace(
+        matcher=dataclasses.replace(base.matcher, max_disparity=100),
+        recon=dataclasses.replace(base.recon, outlier_kernel=251),
+    )
+
+    results = {}
+    for idx in scenes:
+        pair = downsample_pair(ds.load_training(idx))
+        print(f"=== [{idx}] {pair.name} {pair.image_right.shape} ===", flush=True)
+        rec = {"index": idx, "shape": list(np.asarray(pair.image_right).shape[:2])}
+
+        t0 = time.time()
+        try:
+            bdisp, brec = baseline_for(pair, idx, force=args.force_baseline)
+            rec["baseline"] = {"metrics_gt": brec.get("metrics") or None,
+                               "pose": brec.get("pose"),
+                               "cached": "seconds" not in brec or None}
+        except Exception as e:  # baseline reproduction can fail like the C++
+            print(f"  baseline FAILED: {e}", flush=True)
+            bdisp, brec = None, None
+            rec["baseline"] = {"error": str(e)}
+        print(f"  baseline: {time.time()-t0:.0f}s", flush=True)
+
+        for cname in configs:
+            cfg = base.replace(
+                matcher=dataclasses.replace(base.matcher, cost=cname))
+            t0 = time.time()
+            try:
+                res = run_pair(pair, cfg)
+            except Exception as e:
+                print(f"  {cname} FAILED: {e}", flush=True)
+                rec[cname] = {"error": str(e)}
+                continue
+            entry = {
+                "seconds": round(time.time() - t0, 1),
+                "pose_valid": bool(res.pose.valid),
+                "reproj_error_8pt": float(res.pose.reproj_error_8pt),
+                "reproj_error_ba": float(res.pose.reproj_error_ba),
+                "pose": np.asarray(res.pose.pose).tolist(),
+                "num_inliers": int(res.pose.num_inliers),
+            }
+            if "bad_percent" in res.metrics:  # real GT present
+                entry["metrics_gt"] = {
+                    k: float(res.metrics[k])
+                    for k in ("bad_percent", "invalid_percent",
+                              "total_bad_percent", "avg_err")
+                }
+            if bdisp is not None:
+                # parity vs the reference reproduction's own output
+                mask = np.where(bdisp > 0, 255, 0).astype(np.uint8)
+                entry["vs_baseline"] = evaldisp_np(
+                    res.disparity, bdisp.astype(np.float64), mask)
+            rec[cname] = entry
+            gtb = entry.get("metrics_gt", {}).get("bad_percent")
+            vsb = entry.get("vs_baseline", {}).get("bad_percent")
+            print(f"  {cname}: {entry['seconds']}s"
+                  f" bad2_gt={gtb if gtb is None else round(gtb, 2)}"
+                  f" bad2_vs_baseline={vsb if vsb is None else round(vsb, 2)}",
+                  flush=True)
+
+        results[pair.name] = rec
+        with open(args.out, "w") as f:   # checkpoint after every scene
+            json.dump(results, f, indent=2)
+
+    # markdown table
+    print("\n| scene | ref bad-2.0 (GT) | ssd bad-2.0 (GT) | ssd vs ref | "
+          "ncc vs ref | ssd avgErr (GT) |")
+    print("|---|---|---|---|---|---|")
+    for name, rec in results.items():
+        bm = (rec.get("baseline") or {}).get("metrics_gt") or {}
+        s = rec.get("ssd", {})
+        n = rec.get("ncc", {})
+        sg = s.get("metrics_gt") or {}
+        def fmt(v):
+            return f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+        print(f"| {name} | {fmt(bm.get('bad_percent'))} | "
+              f"{fmt(sg.get('bad_percent'))} | "
+              f"{fmt((s.get('vs_baseline') or {}).get('bad_percent'))} | "
+              f"{fmt((n.get('vs_baseline') or {}).get('bad_percent'))} | "
+              f"{fmt(sg.get('avg_err'))} |")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -168,30 +168,17 @@ def _resample(idx, n, n_pts, n_shuffle, exclude, rng):
 # ---------------------------------------------------------------------------
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default="/root/reference/data/MiddEval3")
-    ap.add_argument("--scenario", type=int, default=13)
-    ap.add_argument("--downsample", type=int, default=1,
-                    help="halvings (1 = quarter res from trainingH)")
-    ap.add_argument("--max-disparity", type=int, default=0,
-                    help="0 = scale the reference's 200 by the downsample")
-    ap.add_argument("--out", default="results/baseline")
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--skip-ba", action="store_true")
-    args = ap.parse_args()
-
+def run_reference_baseline(pair, downsample: int, max_disparity: int = 0,
+                           seed: int = 0, skip_ba: bool = False):
+    """Reproduce the reference main() flow on an (already downsampled)
+    pair; returns (disparity, pose dict, metrics dict)."""
     import cv2
 
-    ds = MiddEval3(args.data)
-    pair = ds.load_training(args.scenario)
-    for _ in range(args.downsample):
-        pair = downsample_pair(pair)
     img_l = np.asarray(pair.image_left, np.uint8)
     img_r = np.asarray(pair.image_right, np.uint8)
     K_l = np.asarray(pair.intrinsics_left, np.float64)
     K_r = np.asarray(pair.intrinsics_right, np.float64)
-    max_disp = args.max_disparity or max(40, 200 >> args.downsample)
+    max_disp = max_disparity or max(40, 200 >> downsample)
 
     # 1) SIFT + FLANN (keypoints.cpp:12-32); cv2 wants BGR like the reference
     sift = cv2.SIFT_create(500, 3, 0.01, 5)
@@ -214,7 +201,7 @@ def main():
     print(f"unique matches: {n}")
 
     # 2) RANSAC 8pt (eight_point.cpp)
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(seed)
     R, T, _ = reference_ransac(kp_l, kp_r, K_l, K_r, rng)
 
     # 3) filter + first-60 + BA (pose_estimation.cpp:44-93)
@@ -230,7 +217,7 @@ def main():
     print(f"survivors: {mask.sum()} -> BA on {len(sel)}")
 
     F = None
-    if len(sel) >= 8 and not args.skip_ba:
+    if len(sel) >= 8 and not skip_ba:
         os.environ["JAX_PLATFORMS"] = os.environ.get("STPU_BASELINE_PLATFORM", "cpu")
         import dataclasses
         import jax.numpy as jnp
@@ -279,7 +266,7 @@ def main():
     disp = np.clip(np.round(disp), 0, 255).astype(np.uint8).astype(np.float32)
 
     # 7) outlier clamp (reconstruction.cpp:5-18; kernel scaled with res)
-    kernel = max(31, 500 >> args.downsample)
+    kernel = max(31, 500 >> downsample)
     disp = oracle.remove_disparity_outliers(disp, kernel, 1.5, 0.8)
 
     # 8) evaldisp vs GT (utils.cpp:123-168)
@@ -291,13 +278,41 @@ def main():
         )
         print("metrics:", json.dumps(metrics, indent=2))
 
+    pose = {"R": R.tolist(), "T": T.tolist(), "F": F.tolist(),
+            "n_matches": int(n), "n_ba": int(len(sel))}
+    return disp, pose, metrics
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/root/reference/data/MiddEval3")
+    ap.add_argument("--scenario", type=int, default=13)
+    ap.add_argument("--downsample", type=int, default=1,
+                    help="halvings (1 = quarter res from trainingH)")
+    ap.add_argument("--max-disparity", type=int, default=0,
+                    help="0 = scale the reference's 200 by the downsample")
+    ap.add_argument("--out", default="results/baseline")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip-ba", action="store_true")
+    args = ap.parse_args()
+
+    ds = MiddEval3(args.data)
+    pair = ds.load_training(args.scenario)
+    for _ in range(args.downsample):
+        pair = downsample_pair(pair)
+
+    disp, pose, metrics = run_reference_baseline(
+        pair, args.downsample, args.max_disparity, args.seed, args.skip_ba,
+    )
+
     os.makedirs(args.out, exist_ok=True)
     stem = os.path.join(args.out, f"{pair.name}_ds{args.downsample}")
     write_pfm(stem + "_baseline_disp.pfm", disp.astype(np.float32))
     with open(stem + "_baseline.json", "w") as f:
-        json.dump({"metrics": metrics, "scenario": pair.name,
-                   "downsample": args.downsample, "max_disparity": max_disp}, f,
-                  indent=2)
+        json.dump({"metrics": metrics, "scenario": pair.name, "pose": pose,
+                   "downsample": args.downsample,
+                   "max_disparity": args.max_disparity or max(40, 200 >> args.downsample)},
+                  f, indent=2)
     print("wrote", stem + "_baseline_disp.pfm")
 
 
