@@ -67,17 +67,27 @@ def block_search_right(
             left, right, config.block_size, config.min_disparity, config.max_disparity
         )
 
-    dvals = jnp.arange(config.min_disparity, config.max_disparity)
     black = cv.black_pixel_mask(right)
-    disp = smoothing.smoothed_argmin(
-        cost,
-        dvals,
-        black,
-        smooth_factor=config.smooth_factor,
-        mode="reference",
-        iters=config.row_smooth_iters,
-        variant="right",
-    )
+    if config.min_disparity >= 0:
+        # O(W)-scan fast path, exact for the reference's sign-quirk mode
+        disp = smoothing.smoothed_argmin_reference(
+            cost,
+            black,
+            smooth_factor=config.smooth_factor,
+            iters=config.row_smooth_iters,
+            d_first=config.min_disparity,
+        )
+    else:
+        dvals = jnp.arange(config.min_disparity, config.max_disparity)
+        disp = smoothing.smoothed_argmin(
+            cost,
+            dvals,
+            black,
+            smooth_factor=config.smooth_factor,
+            mode="reference",
+            iters=config.row_smooth_iters,
+            variant="right",
+        )
     # rows beyond min(h1, h2) are never visited by the reference
     rows_valid = jnp.arange(disp.shape[0]) < h
     return jnp.where(rows_valid[:, None], disp, 0.0)

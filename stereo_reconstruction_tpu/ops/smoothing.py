@@ -39,6 +39,132 @@ import jax.numpy as jnp
 from jax import lax
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "d_first"))
+def smoothed_argmin_reference(
+    cost: jnp.ndarray,        # (D, H, W), +inf = invalid candidate
+    black: jnp.ndarray,       # (H, W) bool: pixels forced to 0
+    smooth_factor: float = 0.9,
+    iters: int = 2,           # kept for API compat; the path is exact
+    d_first: int = 0,         # dvals = d_first + arange(D); requires >= 0
+) -> jnp.ndarray:
+    """EXACT fast path for ``mode="reference"``, Right variant.
+
+    Two observations make the sequential reference recurrence
+    (BlockSearch.cpp:160-171) parallelizable without approximation:
+
+    1. With the sign quirk the discount fires where ``dvals ==
+       -neighbor_disp``. Neighbor disparities are a chosen dval >= 0, a
+       black-pixel 0, or the no-candidate sentinel ``-x``; with dvals >= 0
+       the discount can only hit candidate d == 0 (neighbor chose 0) or
+       d == x (neighbor is a sentinel). Since a discount only *lowers*
+       isolated entries, the discounted argmin equals the lexicographic
+       (value, index) min over three candidates: the plain argmin, the
+       up-hit entry and the left-hit entry. All (D,H,W)-sized reductions
+       (plain min/argmin + two fixed diagonal gathers) therefore batch
+       OUTSIDE the row scan.
+    2. The in-row dependence on the left neighbor collapses to a 3-state
+       automaton: the left pixel's influence is fully described by
+       case(left) in {none, chose-0, sentinel}. Each pixel's result is
+       precomputed for all 3 input cases, the per-pixel case-transition
+       tables are composed with an O(W log W) ``associative_scan``, and
+       the true case selects the result — bit-identical to the sequential
+       left-to-right recurrence (validated against the loop oracle in
+       tests/test_block_search.py).
+
+    The row scan (up-neighbor recurrence) body is O(W log W) with no
+    D-sized work; the volume passes are fully parallel.
+    """
+    D, h, w = cost.shape
+    sf = jnp.float32(smooth_factor)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    xi = jnp.arange(w)
+    sentinel = -xs
+
+    # batched over the whole volume (the heavy part, fully parallel):
+    m0 = jnp.min(cost, axis=0)                       # (H, W)
+    a0 = jnp.argmin(cost, axis=0).astype(jnp.int32)  # first-index semantics
+    # plane of candidate d == 0 (neighbor disparity 0)
+    i_zero = -d_first
+    c_zero = (
+        cost[i_zero] if 0 <= i_zero < D else jnp.full((h, w), jnp.inf)
+    )
+    # diag gathers for sentinel neighbors: candidate d == x (up) and
+    # d == x-1 (left), i.e. plane index varies along W only
+    k_up = jnp.clip(xi - d_first, 0, D - 1)
+    diag_up = jnp.take_along_axis(
+        cost, jnp.broadcast_to(k_up[None, None, :], (1, h, w)), axis=0
+    )[0]
+    diag_up = jnp.where((xi >= d_first) & (xi < d_first + D), diag_up, jnp.inf)
+    k_lf = jnp.clip(xi - 1 - d_first, 0, D - 1)
+    diag_lf = jnp.take_along_axis(
+        cost, jnp.broadcast_to(k_lf[None, None, :], (1, h, w)), axis=0
+    )[0]
+    diag_lf = jnp.where(
+        (xi - 1 >= d_first) & (xi - 1 < d_first + D), diag_lf, jnp.inf
+    )
+    i_lf = jnp.clip(xi - 1 - d_first, 0, D - 1).astype(jnp.int32)
+
+    def lexmin(v1, i1, v2, i2):
+        """(value, index) lexicographic min — first-argmin tie semantics."""
+        take2 = (v2 < v1) | ((v2 == v1) & (i2 < i1))
+        return jnp.where(take2, v2, v1), jnp.where(take2, i2, i1)
+
+    def compose(a, b):
+        """3-state transition composition: (b o a)[c] = b[a[c]]."""
+        return jnp.take_along_axis(b, a, axis=-1)
+
+    def row_step(prev_disp, inputs):
+        m0r, a0r, c0r, dur, dlr, black_row, first = inputs
+
+        # up-neighbor candidate (exact: prev_disp is the final row above)
+        up_zero = prev_disp == 0.0
+        up_sent = prev_disp == -xs
+        up_val = jnp.where(up_zero, c0r, jnp.where(up_sent, dur, jnp.inf))
+        up_idx = jnp.where(up_zero, i_zero, jnp.clip(xi - d_first, 0, D - 1))
+        v_u = jnp.where(first, jnp.inf, up_val * sf)
+
+        def resolve(lf_val, lf_idx):
+            both = (lf_idx == up_idx) & jnp.isfinite(v_u) & jnp.isfinite(lf_val)
+            extra = jnp.where(both, sf, 1.0)
+            best, bidx = lexmin(m0r, a0r, v_u * extra, up_idx)
+            best, bidx = lexmin(best, bidx, lf_val * sf * extra, lf_idx)
+            disp = jnp.where(
+                jnp.isfinite(best), (d_first + bidx).astype(jnp.float32), sentinel
+            )
+            return jnp.where(black_row, 0.0, disp)
+
+        inf_w = jnp.full((w,), jnp.inf)
+        d_none = resolve(inf_w, jnp.full((w,), -1, jnp.int32))
+        d_zero = resolve(c0r, jnp.full((w,), i_zero, jnp.int32))
+        d_sent = resolve(dlr, i_lf)
+
+        # per-pixel case transition g[x, c_in] = case(disp under c_in),
+        # case: 0 = none, 1 = left chose 0, 2 = left is sentinel -x
+        def case_of(d):
+            return jnp.where(
+                d == 0.0, 1, jnp.where(d == sentinel, 2, 0)
+            ).astype(jnp.int32)
+
+        g = jnp.stack([case_of(d_none), case_of(d_zero), case_of(d_sent)], -1)
+        comp = lax.associative_scan(compose, g, axis=0)       # (W, 3)
+        case_out = comp[:, 0]                                 # input: none @ x=0
+        case_in = jnp.concatenate([jnp.zeros((1,), jnp.int32), case_out[:-1]])
+
+        disp = jnp.where(
+            case_in == 0, d_none, jnp.where(case_in == 1, d_zero, d_sent)
+        )
+        return disp, disp
+
+    first_flags = jnp.zeros((h,), bool).at[0].set(True)
+    _, disparity = lax.scan(
+        row_step,
+        jnp.zeros((w,), jnp.float32),
+        (m0, a0, c_zero, diag_up, diag_lf, black, first_flags),
+        unroll=8,   # the O(W) body is tiny; per-step loop overhead dominates
+    )
+    return disparity
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "iters", "variant"))
 def smoothed_argmin(
     cost: jnp.ndarray,        # (D, H, W), +inf = invalid candidate
@@ -81,13 +207,14 @@ def smoothed_argmin(
         cu = cost_row * jnp.where(first, 1.0, discounts(prev_disp))
 
         # sweep 0: no left-neighbor discount (x=0 never has one; interior
-        # pixels get it in later sweeps)
-        disp = resolve(cu, nan_row)
+        # pixels get it in later sweeps). Black pixels are forced to 0
+        # after EVERY sweep so later sweeps see the final neighbor value,
+        # exactly like the sequential reference recurrence does.
+        disp = jnp.where(black_row, 0.0, resolve(cu, nan_row))
         for _ in range(max(0, iters - 1)):
             left_disp = jnp.concatenate([nan_row[:1], disp[:-1]])
-            disp = resolve(cu, left_disp)
+            disp = jnp.where(black_row, 0.0, resolve(cu, left_disp))
 
-        disp = jnp.where(black_row, 0.0, disp)
         return disp, disp
 
     first_flags = jnp.zeros((h,), bool).at[0].set(True)
@@ -96,6 +223,7 @@ def smoothed_argmin(
         row_step,
         init,
         (jnp.moveaxis(cost, 1, 0), black, first_flags),
+        unroll=4,
     )
     return disparity
 

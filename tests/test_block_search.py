@@ -155,3 +155,61 @@ def test_sad_cost_recovers_shift(rng):
     finite = np.isfinite(want)
     np.testing.assert_array_equal(np.isfinite(vol[d]), finite)
     np.testing.assert_allclose(vol[d][finite], want[finite], rtol=1e-5, atol=1e-4)
+
+
+def _sequential_reference_smoothing_f32(cost, black, sf=0.9, d_first=0):
+    """Literal row-major recurrence of BlockSearch's Right-variant
+    smoothing (BlockSearch.cpp:160-171) at f32 multiply precision —
+    the exactness target for smoothed_argmin_reference."""
+    D, h, w = cost.shape
+    sf = np.float32(sf)
+    dvals = np.arange(d_first, d_first + D, dtype=np.float32)
+    disp = np.zeros((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            if black[y, x]:
+                disp[y, x] = 0.0
+                continue
+            c = cost[:, y, x].astype(np.float32).copy()
+            if y >= 1:
+                c[dvals == -disp[y - 1, x]] *= sf
+            if x >= 1:
+                c[dvals == -disp[y, x - 1]] *= sf
+            i = int(np.argmin(c))
+            disp[y, x] = dvals[i] if np.isfinite(c[i]) else -np.float32(x)
+    return disp
+
+
+def test_fast_reference_smoothing_exact_vs_sequential(rng):
+    """smoothed_argmin_reference resolves the in-row recurrence with a
+    3-state associative scan — must be bit-identical to the literal
+    sequential recurrence, not an approximation."""
+    for trial in range(3):
+        D, h, w = 12, 17, 23
+        cost = rng.uniform(0.1, 10.0, (D, h, w)).astype(np.float32)
+        # invalid candidates, whole-invalid columns, exact ties, and a
+        # cheap d=0 plane so discounts actually flip winners
+        cost[rng.uniform(size=cost.shape) < 0.2] = np.inf
+        cost[:, 3, 5:9] = np.inf
+        cost[2, :, :] = cost[7, :, :]
+        cost[0] = np.where(rng.uniform(size=(h, w)) < 0.3, 0.5, cost[0])
+        black = rng.uniform(size=(h, w)) < 0.1
+        want = _sequential_reference_smoothing_f32(cost, black)
+        got = np.asarray(smoothing.smoothed_argmin_reference(
+            jnp.asarray(cost), jnp.asarray(black),
+            smooth_factor=0.9, d_first=0,
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_fast_reference_smoothing_min_disparity_offset(rng):
+    D, h, w = 9, 11, 30
+    cost = rng.uniform(0.1, 10.0, (D, h, w)).astype(np.float32)
+    cost[rng.uniform(size=cost.shape) < 0.3] = np.inf
+    black = np.zeros((h, w), bool)
+    want = _sequential_reference_smoothing_f32(cost, black, d_first=3)
+    got = np.asarray(smoothing.smoothed_argmin_reference(
+        jnp.asarray(cost), jnp.asarray(black),
+        smooth_factor=0.9, d_first=3,
+    ))
+    np.testing.assert_array_equal(got, want)

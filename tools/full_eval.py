@@ -62,7 +62,7 @@ def baseline_for(pair, idx, force=False):
         with open(js) as f:
             rec = json.load(f)
         if "pose" in rec:
-            return read_pfm(pfm)[0], rec
+            return read_pfm(pfm), rec
     from reference_baseline import run_reference_baseline
 
     t0 = time.time()
@@ -122,6 +122,55 @@ def main():
             rec["baseline"] = {"error": str(e)}
         print(f"  baseline: {time.time()-t0:.0f}s", flush=True)
 
+        # matcher parity: identical rectified input (from the baseline's
+        # pose + Loop-Zhang homographies + cv2 warps) -> our matcher vs
+        # the exact reference-semantics oracle. This isolates the dense
+        # matcher (BASELINE's bad-2.0-within-0.5pp contract) from pose /
+        # rectification run-to-run variance.
+        if brec is not None and brec.get("pose"):
+            import cv2
+            import jax.numpy as jnp
+            from stereo_reconstruction_tpu import oracle
+            from stereo_reconstruction_tpu.config import MatcherConfig
+            from stereo_reconstruction_tpu.ops.block_search import block_search_right
+            from stereo_reconstruction_tpu.rectify.loop_zhang import (
+                loop_zhang_homographies,
+            )
+
+            t0 = time.time()
+            F = np.asarray(brec["pose"]["F"], np.float64)
+            img_l = np.asarray(pair.image_left, np.uint8)
+            img_r = np.asarray(pair.image_right, np.uint8)
+            homs = loop_zhang_homographies(F, img_l.shape[:2], img_r.shape[:2])
+            hl, wl = homs.canvas_left
+            hr, wr = homs.canvas_right
+            rect_l = cv2.warpPerspective(img_l, homs.H_left, (wl, hl))
+            rect_r = cv2.warpPerspective(img_r, homs.H_right, (wr, hr))
+            # the reference evaluates rows < min(h1, h2) only
+            # (BlockSearch.cpp height = min); crop both for the comparison
+            hm = min(rect_l.shape[0], rect_r.shape[0])
+            rect_l, rect_r = rect_l[:hm], rect_r[:hm]
+            od = oracle.block_search_right_fast(
+                rect_l, rect_r, block_size=17, min_disparity=0,
+                max_disparity=100, smooth_factor=0.9,
+            )
+            ours = np.asarray(block_search_right(
+                jnp.asarray(rect_l), jnp.asarray(rect_r),
+                MatcherConfig(block_size=17, max_disparity=100,
+                              smooth_factor=0.9, row_smooth_iters=2),
+            ))
+            agree = float((ours == od).mean())
+            pm = evaldisp_np(ours, od.astype(np.float64),
+                             np.full(od.shape, 255, np.uint8))
+            rec["matcher_parity"] = {
+                "exact_agreement": agree,
+                "bad2_vs_oracle": pm["bad_percent"],
+                "seconds": round(time.time() - t0, 1),
+            }
+            print(f"  matcher parity: agree={agree:.4f} "
+                  f"bad2={pm['bad_percent']:.3f}% ({rec['matcher_parity']['seconds']}s)",
+                  flush=True)
+
         for cname in configs:
             cfg = base.replace(
                 matcher=dataclasses.replace(base.matcher, cost=cname))
@@ -164,18 +213,20 @@ def main():
             json.dump(results, f, indent=2)
 
     # markdown table
-    print("\n| scene | ref bad-2.0 (GT) | ssd bad-2.0 (GT) | ssd vs ref | "
-          "ncc vs ref | ssd avgErr (GT) |")
-    print("|---|---|---|---|---|---|")
+    print("\n| scene | ref bad-2.0 (GT) | ssd bad-2.0 (GT) | matcher bad-2.0 "
+          "vs oracle | ssd vs ref e2e | ncc vs ref e2e | ssd avgErr (GT) |")
+    print("|---|---|---|---|---|---|---|")
     for name, rec in results.items():
         bm = (rec.get("baseline") or {}).get("metrics_gt") or {}
         s = rec.get("ssd", {})
         n = rec.get("ncc", {})
         sg = s.get("metrics_gt") or {}
-        def fmt(v):
-            return f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+        mp = rec.get("matcher_parity") or {}
+        def fmt(v, nd=2):
+            return f"{v:.{nd}f}" if isinstance(v, (int, float)) else "—"
         print(f"| {name} | {fmt(bm.get('bad_percent'))} | "
               f"{fmt(sg.get('bad_percent'))} | "
+              f"{fmt(mp.get('bad2_vs_oracle'), 3)} | "
               f"{fmt((s.get('vs_baseline') or {}).get('bad_percent'))} | "
               f"{fmt((n.get('vs_baseline') or {}).get('bad_percent'))} | "
               f"{fmt(sg.get('avg_err'))} |")
