@@ -31,7 +31,7 @@ the argmin reduces over the leading axis.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,12 +109,18 @@ def _centered_sliding_sum(plane: jnp.ndarray, size: int, before: int, axis: int)
     )
 
 
-def _clipped_window_sum(plane: jnp.ndarray, hbs: int) -> jnp.ndarray:
+def _clipped_window_sum(plane: jnp.ndarray, hbs: int,
+                        row_valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sum of ``plane`` over [y-hbs, y+hbs) x [x-hbs, x+hbs) clipped to
-    [0, H-1) x [0, W-1), for every pixel. ``plane`` (..., H, W)."""
+    [0, H-1) x [0, W-1), for every pixel. ``plane`` (..., H, W).
+
+    ``row_valid`` overrides the default "all rows but the last" mask — the
+    sharded matcher passes global-coordinate validity so that a row tile's
+    edges are not mistaken for image borders (parallel/sharded.py).
+    """
     h, w = plane.shape[-2:]
     # zero the last row/col: they are never inside a reference window
-    mask_y = (jnp.arange(h) < h - 1)[:, None]
+    mask_y = ((jnp.arange(h) < h - 1) if row_valid is None else row_valid)[:, None]
     mask_x = (jnp.arange(w) < w - 1)[None, :]
     masked = plane * (mask_y & mask_x)
     win = 2 * hbs
@@ -142,14 +148,38 @@ def cost_volume_right_ssd(
     min_disparity: int = 0,
     max_disparity: int = 200,
     d_chunk: int = 32,
+    row_offset: Optional[jnp.ndarray] = None,   # global index of local row 0
+    total_height: Optional[jnp.ndarray] = None,  # global image height
 ) -> jnp.ndarray:
-    """Right-variant SSD cost volume, shape (D, H, W), +inf = invalid."""
+    """Right-variant SSD cost volume, shape (D, H, W), +inf = invalid.
+
+    ``row_offset``/``total_height`` make the window geometry use GLOBAL
+    row coordinates: a halo-extended row tile of a larger image then
+    produces bit-identical costs to the full-image computation for every
+    in-bounds row (rows outside the image must hold zeros). Used by the
+    sharded matcher (parallel/sharded.py).
+    """
     h, w = right.shape[:2]
     w_l = left.shape[1]
     hbs = (block_size - 1) // 2
     D = max_disparity - min_disparity
 
-    _, right_ext, _, _, area = right_window_geometry(h, w, block_size)
+    if row_offset is None:
+        _, right_ext, _, _, area = right_window_geometry(h, w, block_size)
+        row_valid = None
+    else:
+        h_tot = total_height if total_height is not None else h
+        ys_g = row_offset + jnp.arange(h)
+        xs_ = jnp.arange(w)
+        up = jnp.clip(jnp.minimum(ys_g, hbs), 0)
+        down = jnp.clip(jnp.minimum(h_tot - 1 - ys_g, hbs), 0)
+        lft = jnp.minimum(xs_, hbs)
+        rgt = jnp.minimum(w - 1 - xs_, hbs)
+        in_img = (ys_g >= 0) & (ys_g < h_tot)
+        area = ((lft + rgt)[None, :] * jnp.where(in_img, up + down, 0)[:, None]
+                ).astype(jnp.float32)
+        right_ext = rgt
+        row_valid = (ys_g >= 0) & (ys_g < h_tot - 1)
     inv_area = jnp.where(area > 0, 1.0 / jnp.maximum(area, 1.0), jnp.inf)
 
     # pad left so L[:, x + d] is a static slice for every d
@@ -162,7 +192,7 @@ def cost_volume_right_ssd(
         shifted = lax.dynamic_slice_in_dim(left_p, d, w, axis=1)
         diff = shifted - right
         dsq = jnp.sum(diff * diff, axis=-1)
-        win = _clipped_window_sum(dsq, hbs)
+        win = _clipped_window_sum(dsq, hbs, row_valid=row_valid)
         cost = jnp.sqrt(jnp.maximum(win, 0.0)) * inv_area
         valid = (xs[None, :] + d + right_ext[None, :]) < w_l
         return jnp.where(valid & (area > 0), cost, jnp.inf)

@@ -33,6 +33,7 @@ Left. Black pixels are forced to disparity 0.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +47,7 @@ def smoothed_argmin_reference(
     smooth_factor: float = 0.9,
     iters: int = 2,           # kept for API compat; the path is exact
     d_first: int = 0,         # dvals = d_first + arange(D); requires >= 0
+    first_flags: Optional[jnp.ndarray] = None,  # (H,) rows with no up-neighbor
 ) -> jnp.ndarray:
     """EXACT fast path for ``mode="reference"``, Right variant.
 
@@ -88,19 +90,24 @@ def smoothed_argmin_reference(
     c_zero = (
         cost[i_zero] if 0 <= i_zero < D else jnp.full((h, w), jnp.inf)
     )
-    # diag gathers for sentinel neighbors: candidate d == x (up) and
-    # d == x-1 (left), i.e. plane index varies along W only
-    k_up = jnp.clip(xi - d_first, 0, D - 1)
-    diag_up = jnp.take_along_axis(
-        cost, jnp.broadcast_to(k_up[None, None, :], (1, h, w)), axis=0
-    )[0]
-    diag_up = jnp.where((xi >= d_first) & (xi < d_first + D), diag_up, jnp.inf)
-    k_lf = jnp.clip(xi - 1 - d_first, 0, D - 1)
-    diag_lf = jnp.take_along_axis(
-        cost, jnp.broadcast_to(k_lf[None, None, :], (1, h, w)), axis=0
-    )[0]
+    # diag extraction for sentinel neighbors: candidate d == x (up) and
+    # d == x-1 (left), i.e. plane index varies along W only. A one-hot
+    # contraction (one fused multiply+reduce pass over the volume) instead
+    # of take_along_axis: TPU gathers along the major axis are scalar-slow.
+    dplane = jnp.arange(D)
+    finite_cost = jnp.where(jnp.isinf(cost), 0.0, cost)
+    oh_up = (xi[None, :] == (dplane + d_first)[:, None]).astype(cost.dtype)
+    oh_lf = ((xi - 1)[None, :] == (dplane + d_first)[:, None]).astype(cost.dtype)
+    inf_up = jnp.einsum("dhw,dw->hw", jnp.isinf(cost).astype(cost.dtype), oh_up)
+    inf_lf = jnp.einsum("dhw,dw->hw", jnp.isinf(cost).astype(cost.dtype), oh_lf)
+    diag_up = jnp.einsum("dhw,dw->hw", finite_cost, oh_up)
+    diag_lf = jnp.einsum("dhw,dw->hw", finite_cost, oh_lf)
+    diag_up = jnp.where(
+        (xi >= d_first) & (xi < d_first + D) & (inf_up == 0), diag_up, jnp.inf
+    )
     diag_lf = jnp.where(
-        (xi - 1 >= d_first) & (xi - 1 < d_first + D), diag_lf, jnp.inf
+        (xi - 1 >= d_first) & (xi - 1 < d_first + D) & (inf_lf == 0),
+        diag_lf, jnp.inf,
     )
     i_lf = jnp.clip(xi - 1 - d_first, 0, D - 1).astype(jnp.int32)
 
@@ -110,8 +117,15 @@ def smoothed_argmin_reference(
         return jnp.where(take2, v2, v1), jnp.where(take2, i2, i1)
 
     def compose(a, b):
-        """3-state transition composition: (b o a)[c] = b[a[c]]."""
-        return jnp.take_along_axis(b, a, axis=-1)
+        """3-state transition composition: (b o a)[c] = b[a[c]] — written
+        as arithmetic selects (TPU gathers are scalar-slow)."""
+        a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+        b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+
+        def app(c):
+            return jnp.where(c == 0, b0, jnp.where(c == 1, b1, b2))
+
+        return jnp.stack([app(a0), app(a1), app(a2)], axis=-1)
 
     def row_step(prev_disp, inputs):
         m0r, a0r, c0r, dur, dlr, black_row, first = inputs
@@ -155,7 +169,8 @@ def smoothed_argmin_reference(
         )
         return disp, disp
 
-    first_flags = jnp.zeros((h,), bool).at[0].set(True)
+    if first_flags is None:
+        first_flags = jnp.zeros((h,), bool).at[0].set(True)
     _, disparity = lax.scan(
         row_step,
         jnp.zeros((w,), jnp.float32),

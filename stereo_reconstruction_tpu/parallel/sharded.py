@@ -1,16 +1,27 @@
 """Sharded dense matching: cost-volume row tiles across chips.
 
 The BlockSearch hot loop's H dimension is sharded over the ``tile`` mesh
-axis; window costs need ``halo = block_size//2`` rows from the row-wise
-neighbors, exchanged with ``jax.lax.ppermute`` over ICI (SURVEY.md §2
-"Parallelism" table). Image-pair batches ride the ``data`` axis. Metric
-reductions are ``psum``s (sharded_evaldisp).
+axis; window costs need halo rows from the row-wise neighbors, exchanged
+with ``jax.lax.ppermute`` over ICI (SURVEY.md §2 "Parallelism" table).
+Image-pair batches ride the ``data`` axis. Metric reductions are
+``psum``s (sharded_evaldisp).
+
+Exactness: the cost volume is computed with GLOBAL row coordinates
+(cost_volume_right_ssd row_offset/total_height), so window clipping and
+area normalization are bit-identical to the single-device result for
+every kept row — tile edges are never mistaken for image borders.
 
 Smoothing across tile boundaries: the reference's up-neighbor recurrence
-is sequential over all rows; a sharded scan would serialize the tiles. We
-run the recurrence tile-locally (each tile's first row sees no up-neighbor
-discount) — the boundary effect is one row per tile and is validated in
-tests to stay inside the quality budget. (The in-row term is unaffected.)
+is sequential over all rows; a sharded scan would serialize the tiles.
+Each tile instead re-runs the recurrence over ``warmup`` extra rows above
+its block (their cost planes come from the halo exchange) and keeps only
+its own rows: the up-chain influence decays geometrically (the discount
+only re-ranks near-tie candidates), so with the default warmup the
+remaining divergence is confined to rare tie chains and is gated in
+bad-2.0 terms on real pairs (tests/test_sharding.py). ``warmup >= rows
+above the tile`` reproduces the single-device output exactly (the
+equivalence test uses that mode). The in-row term is exact everywhere
+(3-state associative scan, ops/smoothing.py).
 """
 
 from __future__ import annotations
@@ -29,15 +40,17 @@ from stereo_reconstruction_tpu.ops import cost_volume as cv
 from stereo_reconstruction_tpu.ops import smoothing
 
 
-def _halo_exchange(block: jnp.ndarray, halo: int, axis_name: str) -> jnp.ndarray:
-    """Pad a (Hloc, W, ...) row block with `halo` rows from the previous /
-    next device along `axis_name` (zeros at the ends)."""
+def _halo_exchange(block: jnp.ndarray, top_halo: int, bottom_halo: int,
+                   axis_name: str) -> jnp.ndarray:
+    """Pad a (Hloc, W, ...) row block with rows from the previous / next
+    device along `axis_name` (zeros at the ends). ``top_halo`` may exceed
+    Hloc-per-device only if <= Hloc (one-hop exchange)."""
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
 
     # send my top rows to the previous device (they become its bottom halo)
-    top = block[:halo]
-    bottom = block[-halo:]
+    top = block[:bottom_halo]
+    bottom = block[-top_halo:]
     from_next = lax.ppermute(top, axis_name, [(i, (i - 1) % n) for i in range(n)])
     from_prev = lax.ppermute(bottom, axis_name, [(i, (i + 1) % n) for i in range(n)])
 
@@ -52,19 +65,25 @@ def sharded_block_search_right(
     right: jnp.ndarray,     # (B, H, W, 3)
     mesh: Mesh,
     config: MatcherConfig = MatcherConfig(),
+    warmup: int = 32,       # smoothing warm-up rows above each tile
 ) -> jnp.ndarray:
     """(B, H, W) disparity; B sharded on `data`, H sharded on `tile`."""
     hbs = (config.block_size - 1) // 2
-    halo = 2 * hbs
+    hw = 2 * hbs
     h = right.shape[1]
+    n_tiles = mesh.shape["tile"]
+    rows_per_tile = h // n_tiles
+    warmup = min(warmup, rows_per_tile - hw)
+    top_halo = warmup + hw
+    bottom_halo = hw
 
     def local(left_blk, right_blk):
         # left_blk/right_blk: (Bloc, Hloc, W, 3)
         def per_pair(lb, rb):
-            lb_h = _halo_exchange(lb, halo, "tile")
-            rb_h = _halo_exchange(rb, halo, "tile")
-            n = lax.axis_size("tile")
+            lb_h = _halo_exchange(lb, top_halo, bottom_halo, "tile")
+            rb_h = _halo_exchange(rb, top_halo, bottom_halo, "tile")
             idx = lax.axis_index("tile")
+            row0 = idx * rows_per_tile - top_halo   # global id of local row 0
 
             cost = cv.cost_volume_right_ssd(
                 lb_h.astype(jnp.float32),
@@ -72,25 +91,26 @@ def sharded_block_search_right(
                 config.block_size,
                 config.min_disparity,
                 config.max_disparity,
-            )                                    # (D, Hloc+2*halo, W)
-            # interior window-geometry fixup: the clipped-window/area logic
-            # inside cost_volume assumes image borders at the block edges;
-            # rows in the halo-extended interior use full windows, which is
-            # correct everywhere except the true image top/bottom (first/
-            # last tile), where the zero halo reproduces the border clip
-            # only approximately. Validated against the quality budget.
-            cost = cost[:, halo:-halo, :]
+                row_offset=row0,
+                total_height=h,
+            )                        # (D, top_halo + Hloc + hw, W) exact
+            # keep warm-up rows for the smoothing recurrence; drop the
+            # window-support-only rows
+            cost = cost[:, hw:-hw, :]                  # (D, warmup+Hloc, W)
 
-            dvals = jnp.arange(config.min_disparity, config.max_disparity)
-            black = cv.black_pixel_mask(rb)
-            disp = smoothing.smoothed_argmin(
-                cost, dvals, black,
+            black = cv.black_pixel_mask(rb_h[hw:-hw])
+            gids = row0 + hw + jnp.arange(warmup + rows_per_tile)
+            # rows with no (available) up-neighbor: the true image top and
+            # each tile's first warm-up row (the chain truncation point)
+            first = (gids <= 0) | (jnp.arange(warmup + rows_per_tile) == 0)
+            disp = smoothing.smoothed_argmin_reference(
+                cost, black,
                 smooth_factor=config.smooth_factor,
-                mode="reference",
                 iters=config.row_smooth_iters,
-                variant="right",
+                d_first=config.min_disparity,
+                first_flags=first,
             )
-            return disp
+            return disp[warmup:]
 
         return jax.vmap(per_pair)(left_blk, right_blk)
 

@@ -49,10 +49,38 @@ def test_sharded_block_search_matches_single_device(rng, mesh):
     single = np.stack(
         [np.asarray(block_search_right(left[i], right[i], cfg)) for i in range(left.shape[0])]
     )
-    # tile-local smoothing + boundary-tile window clipping differ only near
-    # tile seams; the interior must agree almost everywhere
+    # global-coordinate window geometry makes the cost volume exact per
+    # tile; the smoothing warm-up covers the whole chain at this tile size
+    # -> bit-identical output
+    np.testing.assert_array_equal(sharded, single)
+
+
+@pytest.mark.slow
+def test_sharded_quality_budget_real_pair(rng, mesh, middeval_root):
+    """bad-2.0 budget on a real pair (VERDICT round-1 item 5): the sharded
+    matcher must stay within 0.5pp of the single-device result on Teddy,
+    scored with the single-device output as ground truth."""
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+
+    pair = downsample_pair(MiddEval3(middeval_root).load_training(13))
+    L = np.asarray(pair.image_left, np.uint8)[:368, :448]
+    R = np.asarray(pair.image_right, np.uint8)[:368, :448]
+    cfg = MatcherConfig(block_size=17, min_disparity=0, max_disparity=64,
+                        smooth_factor=0.9)
+    lb = jnp.asarray(np.stack([L] * 2))
+    rb = jnp.asarray(np.stack([R] * 2))
+    sharded = np.asarray(sharded_block_search_right(lb, rb, mesh, cfg))[0]
+    single = np.asarray(block_search_right(jnp.asarray(L), jnp.asarray(R), cfg))
+
+    m = evaldisp(
+        jnp.asarray(sharded), jnp.asarray(single),
+        jnp.full(single.shape, 255, jnp.uint8), bad_thresh=2.0,
+    )
+    bad2 = float(m["bad_percent"])
     agree = (sharded == single).mean()
-    assert agree > 0.95, f"sharded vs single agreement {agree:.3%}"
+    assert bad2 <= 0.5, f"sharded bad-2.0 vs single = {bad2:.3f}pp"
+    assert agree > 0.995, f"exact agreement only {agree:.4%}"
 
 
 def test_sharded_evaldisp_matches_single(rng, mesh):
