@@ -123,24 +123,42 @@ def run_pair(
     jax.block_until_ready(pose.pose)
     timings["pose"] = time.perf_counter() - t0
 
+    # failure recovery (SURVEY §5: per-pair failure masking instead of the
+    # reference's throws, pose_estimation.cpp:84): a degenerate pose
+    # (non-finite reprojection error / cheirality failure) would rectify
+    # the pair into garbage — match the raw pair instead. MiddEval3 pairs
+    # are row-aligned already, so the degraded mode stays meaningful.
+    pose_ok = bool(pose.valid) and float(pose.reproj_error_ba) < 50.0
+
     t0 = time.perf_counter()
-    F = np.asarray(pose.fundamental, np.float64)
-    rect = rectify_pair(
-        jnp.asarray(pair.image_left),
-        jnp.asarray(pair.image_right),
-        F,
-        config=config.rectify,
-    )
-    jax.block_until_ready(rect.right)
+    if pose_ok:
+        F = np.asarray(pose.fundamental, np.float64)
+        rect = rectify_pair(
+            jnp.asarray(pair.image_left),
+            jnp.asarray(pair.image_right),
+            F,
+            config=config.rectify,
+        )
+        jax.block_until_ready(rect.right)
+    else:
+        F = np.eye(3)
+        rect = None
     timings["rectify"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    disp_rect = compute_disparity(rect.left, rect.right, config)
-    disparity = disparity_to_original_frame(
-        disp_rect,
-        rect.homographies.H_right,
-        (pair.height, pair.width),
-    )
+    if pose_ok:
+        disp_rect = compute_disparity(rect.left, rect.right, config)
+        disparity = disparity_to_original_frame(
+            disp_rect,
+            rect.homographies.H_right,
+            (pair.height, pair.width),
+        )
+    else:
+        disparity = compute_disparity(
+            jnp.asarray(pair.image_left, jnp.float32),
+            jnp.asarray(pair.image_right, jnp.float32),
+            config,
+        )
     jax.block_until_ready(disparity)
     timings["disparity"] = time.perf_counter() - t0
 
@@ -166,6 +184,7 @@ def run_pair(
         "reproj_error_8pt": float(pose.reproj_error_8pt),
         "reproj_error_ba": float(pose.reproj_error_ba),
         "num_inliers": int(pose.num_inliers),
+        "pose_ok": float(pose_ok),
     }
     if pair.disp_right_gt is not None and pair.mask_right_nocc is not None:
         m = metrics_mod.evaldisp(

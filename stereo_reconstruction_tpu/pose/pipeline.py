@@ -127,7 +127,10 @@ def estimate_pose_from_matches(
         reproj_error_ba=err_ba,
         num_inliers=num_survivors,
         enough_points=num_survivors >= m,
-        valid=rr.valid,
+        # failure detection (SURVEY §5): a pose whose reprojection errors
+        # are non-finite (degenerate triangulation / diverged BA) is not a
+        # valid estimate even when RANSAC found a cheirality-valid model
+        valid=rr.valid & jnp.isfinite(err_8pt) & jnp.isfinite(err_ba),
     )
 
 

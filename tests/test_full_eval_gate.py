@@ -1,0 +1,65 @@
+"""Multi-scene quality gates over the recorded full-set evaluation
+(baselines/full_eval.json, produced by tools/full_eval.py on all 15
+MiddEval3 trainingQ scenes — VERDICT round-1 item 2).
+
+Three contracts:
+  * matcher parity: on identical rectified inputs the dense matcher must
+    reproduce the reference-semantics oracle essentially bit-for-bit on
+    EVERY scene (the 0.5pp bad-2.0 budget is met with ~0 margin used);
+  * end-to-end quality on the scenes that ship real GT (Teddy, ArtL):
+    within 0.5pp bad-2.0 of the reference pipeline's own output —
+    currently ~15pp BETTER;
+  * every scene runs end-to-end (pose validity or the failure-detection
+    fallback, no exceptions recorded).
+"""
+
+import json
+import os
+
+import pytest
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "..", "baselines",
+                       "full_eval.json")
+BUDGET_PP = 0.5   # BASELINE.json north-star tolerance
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    if not os.path.isfile(FIXTURE):
+        pytest.skip("baselines/full_eval.json not generated")
+    with open(FIXTURE) as f:
+        data = json.load(f)
+    if len(data) < 15:
+        pytest.skip("full_eval fixture incomplete")
+    return data
+
+
+def test_matcher_parity_all_scenes(fixture):
+    for name, rec in fixture.items():
+        mp = rec.get("matcher_parity")
+        assert mp, f"{name}: no matcher-parity record"
+        assert mp["exact_agreement"] >= 0.9999, (
+            f"{name}: exact agreement {mp['exact_agreement']:.6f}"
+        )
+
+
+def test_gt_scenes_beat_reference_baseline(fixture):
+    for name in ("Teddy", "ArtL"):
+        rec = fixture[name]
+        ref = rec["baseline"]["metrics_gt"]
+        ours = rec["ssd"].get("metrics_gt")
+        assert ours, f"{name}: no GT metrics for the framework run"
+        assert ours["bad_percent"] <= ref["bad_percent"] + BUDGET_PP, (
+            f"{name}: bad-2.0 {ours['bad_percent']:.2f}% vs reference "
+            f"{ref['bad_percent']:.2f}%"
+        )
+
+
+def test_all_scenes_ran_end_to_end(fixture):
+    for name, rec in fixture.items():
+        for cfg_name in ("ssd", "ncc"):
+            entry = rec.get(cfg_name)
+            assert entry and "error" not in entry, (
+                f"{name}/{cfg_name}: pipeline failed: "
+                f"{(entry or {}).get('error')}"
+            )

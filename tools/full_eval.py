@@ -160,8 +160,11 @@ def main():
                               smooth_factor=0.9, row_smooth_iters=2),
             ))
             agree = float((ours == od).mean())
+            # mask out no-candidate sentinel pixels (negative values):
+            # evaldisp clips the test disparity but not the GT, so exact
+            # sentinel agreement would otherwise count as "bad"
             pm = evaldisp_np(ours, od.astype(np.float64),
-                             np.full(od.shape, 255, np.uint8))
+                             np.where(od > 0, 255, 0).astype(np.uint8))
             rec["matcher_parity"] = {
                 "exact_agreement": agree,
                 "bad2_vs_oracle": pm["bad_percent"],
