@@ -24,23 +24,12 @@ from stereo_reconstruction_tpu.ops import geometry as geo
 from stereo_reconstruction_tpu.pose.ba import BAResult, _residuals_one
 
 
-def distributed_bundle_adjust(
-    matches_left: jnp.ndarray,    # (3, N) — N sharded over the mesh
-    matches_right: jnp.ndarray,
-    K_left: jnp.ndarray,
-    K_right: jnp.ndarray,
-    init_rotation: jnp.ndarray,
-    init_translation: jnp.ndarray,
-    init_points: jnp.ndarray,     # (3, N)
-    mesh: Mesh,
-    weights: jnp.ndarray | None = None,
-    config: BundleAdjustmentConfig = BundleAdjustmentConfig(),
-    shard_axes: tuple = ("data", "tile"),
-) -> BAResult:
-    n = matches_left.shape[-1]
-    w = jnp.ones((n,)) if weights is None else weights.astype(jnp.float32)
+@functools.lru_cache(maxsize=16)
+def _build_dist_ba(mesh: Mesh, config: BundleAdjustmentConfig,
+                   shard_axes: tuple):
+    """Cached jitted shard_map BA — one compile per (mesh, config, axes)."""
 
-    def local(kp_l_blk, kp_r_blk, w_blk, X0_blk, pose0):
+    def local(kp_l_blk, kp_r_blk, w_blk, X0_blk, pose0, K_left, K_right):
         """Runs on each device with a shard of the points."""
         res_fn = functools.partial(_residuals_one, K_left=K_left, K_right=K_right)
 
@@ -122,12 +111,7 @@ def distributed_bundle_adjust(
         )
         return pose_f, X_f, c0, cost_f
 
-    pose0 = jnp.concatenate(
-        [geo.rotation_to_angle_axis(init_rotation), init_translation]
-    )
-
     # points ride the flattened mesh; kp/weights shard with them
-    pt_spec = P(shard_axes)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -136,13 +120,37 @@ def distributed_bundle_adjust(
             P(shard_axes, None),
             P(shard_axes),
             P(shard_axes, None),  # X0 (N, 3)
-            P(),
+            P(), P(), P(),
         ),
         out_specs=(P(), P(shard_axes, None), P(), P()),
         check_rep=False,
     )
-    pose_f, X_f, c0, cost_f = jax.jit(fn)(
-        matches_left.T, matches_right.T, w, init_points.T, pose0
+    return jax.jit(fn)
+
+
+def distributed_bundle_adjust(
+    matches_left: jnp.ndarray,    # (3, N) — N sharded over the mesh
+    matches_right: jnp.ndarray,
+    K_left: jnp.ndarray,
+    K_right: jnp.ndarray,
+    init_rotation: jnp.ndarray,
+    init_translation: jnp.ndarray,
+    init_points: jnp.ndarray,     # (3, N)
+    mesh: Mesh,
+    weights: jnp.ndarray | None = None,
+    config: BundleAdjustmentConfig = BundleAdjustmentConfig(),
+    shard_axes: tuple = ("data", "tile"),
+) -> BAResult:
+    n = matches_left.shape[-1]
+    w = jnp.ones((n,)) if weights is None else weights.astype(jnp.float32)
+    pose0 = jnp.concatenate(
+        [geo.rotation_to_angle_axis(init_rotation), init_translation]
+    )
+
+    fn = _build_dist_ba(mesh, config, tuple(shard_axes))
+    pose_f, X_f, c0, cost_f = fn(
+        matches_left.T, matches_right.T, w, init_points.T, pose0,
+        K_left, K_right,
     )
 
     R = geo.angle_axis_to_rotation(pose_f[:3])

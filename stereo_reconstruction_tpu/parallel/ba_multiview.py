@@ -194,6 +194,36 @@ def multiview_bundle_adjust(
     return _pack_result(poses_f, X_f, c0, cost_f)
 
 
+@functools.lru_cache(maxsize=16)
+def _build_dist_multiview_ba(mesh: Mesh, config: BundleAdjustmentConfig,
+                             shard_axes: tuple):
+    """Cached jitted shard_map multi-view BA (one compile per statics)."""
+
+    def local(obs_blk, w_blk, X0_blk, poses0, Ks):
+        def psum_all(x):
+            for ax in shard_axes:
+                x = lax.psum(x, ax)
+            return x
+
+        return _lm_core(
+            poses0, X0_blk, obs_blk, w_blk, Ks, config, psum_all
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(shard_axes, None, None),  # obs (N, M, 2) point-sharded
+            P(shard_axes, None),        # w (N, M)
+            P(shard_axes, None),        # X0 (N, 3)
+            P(), P(),
+        ),
+        out_specs=(P(), P(shard_axes, None), P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def distributed_multiview_bundle_adjust(
     observations: jnp.ndarray,   # (M, N, 2)
     intrinsics: jnp.ndarray,     # (M, 3, 3)
@@ -209,41 +239,19 @@ def distributed_multiview_bundle_adjust(
     M, N = observations.shape[:2]
     w = jnp.ones((M, N)) if weights is None else weights.astype(jnp.float32)
 
-    def local(obs_blk, w_blk, X0_blk, poses0):
-        def psum_all(x):
-            for ax in shard_axes:
-                x = lax.psum(x, ax)
-            return x
-
-        return _lm_core(
-            poses0, X0_blk, obs_blk, w_blk, intrinsics, config, psum_all
-        )
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(shard_axes, None, None),  # obs (N, M, 2) point-sharded
-            P(shard_axes, None),        # w (N, M)
-            P(shard_axes, None),        # X0 (N, 3)
-            P(),
-        ),
-        out_specs=(P(), P(shard_axes, None), P(), P()),
-        check_rep=False,
-    )
-    poses_f, X_f, c0, cost_f = jax.jit(fn)(
+    fn = _build_dist_multiview_ba(mesh, config, tuple(shard_axes))
+    poses_f, X_f, c0, cost_f = fn(
         jnp.swapaxes(observations, 0, 1),
         jnp.swapaxes(w, 0, 1),
         init_points,
         init_poses,
+        intrinsics,
     )
     return _pack_result(poses_f, X_f, c0, cost_f)
 
 
-def fuse_point_cloud(points_sharded: jnp.ndarray, mesh: Mesh,
-                     shard_axes: tuple = ("data", "tile")) -> jnp.ndarray:
-    """all_gather the point shards so every device holds the fused cloud."""
-
+@functools.lru_cache(maxsize=16)
+def _build_fuse(mesh: Mesh, shard_axes: tuple):
     def local(p_blk):
         out = p_blk
         for ax in reversed(shard_axes):
@@ -256,7 +264,13 @@ def fuse_point_cloud(points_sharded: jnp.ndarray, mesh: Mesh,
         out_specs=P(),
         check_rep=False,
     )
-    return jax.jit(fn)(points_sharded)
+    return jax.jit(fn)
+
+
+def fuse_point_cloud(points_sharded: jnp.ndarray, mesh: Mesh,
+                     shard_axes: tuple = ("data", "tile")) -> jnp.ndarray:
+    """all_gather the point shards so every device holds the fused cloud."""
+    return _build_fuse(mesh, tuple(shard_axes))(points_sharded)
 
 
 def _pack_result(poses_f, X_f, c0, cost_f) -> MultiViewBAResult:

@@ -60,20 +60,15 @@ def _halo_exchange(block: jnp.ndarray, top_halo: int, bottom_halo: int,
     return jnp.concatenate([from_prev, block, from_next], axis=0)
 
 
-def sharded_block_search_right(
-    left: jnp.ndarray,      # (B, H, W, 3) batch of rectified pairs
-    right: jnp.ndarray,     # (B, H, W, 3)
-    mesh: Mesh,
-    config: MatcherConfig = MatcherConfig(),
-    warmup: int = 32,       # smoothing warm-up rows above each tile
-) -> jnp.ndarray:
-    """(B, H, W) disparity; B sharded on `data`, H sharded on `tile`."""
+@functools.lru_cache(maxsize=32)
+def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
+                           warmup: int):
+    """Cached jitted shard_map matcher — one compile per (mesh, config,
+    height, warmup); repeated calls reuse the XLA executable."""
     hbs = (config.block_size - 1) // 2
     hw = 2 * hbs
-    h = right.shape[1]
     n_tiles = mesh.shape["tile"]
     rows_per_tile = h // n_tiles
-    warmup = min(warmup, rows_per_tile - hw)
     top_halo = warmup + hw
     bottom_halo = hw
 
@@ -120,19 +115,27 @@ def sharded_block_search_right(
         local, mesh=mesh, in_specs=(spec_in, spec_in), out_specs=spec_out,
         check_rep=False,
     )
-    return jax.jit(fn)(left, right)
+    return jax.jit(fn)
 
 
-def sharded_evaldisp(
-    disp: jnp.ndarray,      # (B, H, W) sharded like the matcher output
-    gt: jnp.ndarray,
-    mask: jnp.ndarray,
+def sharded_block_search_right(
+    left: jnp.ndarray,      # (B, H, W, 3) batch of rectified pairs
+    right: jnp.ndarray,     # (B, H, W, 3)
     mesh: Mesh,
-    bad_thresh: float = 2.0,
-    max_disp: float = 1e9,
-):
-    """Global Middlebury metrics over a sharded batch via psum."""
+    config: MatcherConfig = MatcherConfig(),
+    warmup: int = 32,       # smoothing warm-up rows above each tile
+) -> jnp.ndarray:
+    """(B, H, W) disparity; B sharded on `data`, H sharded on `tile`."""
+    hbs = (config.block_size - 1) // 2
+    hw = 2 * hbs
+    h = int(right.shape[1])
+    rows_per_tile = h // mesh.shape["tile"]
+    warmup = min(warmup, rows_per_tile - hw)
+    return _build_sharded_matcher(mesh, config, h, warmup)(left, right)
 
+
+@functools.lru_cache(maxsize=32)
+def _build_sharded_evaldisp(mesh: Mesh, bad_thresh: float, max_disp: float):
     def local(d, g, m):
         d = d.astype(jnp.float32)
         g = g.astype(jnp.float32)
@@ -166,7 +169,20 @@ def sharded_evaldisp(
         local, mesh=mesh, in_specs=(spec, spec, spec),
         out_specs=P(), check_rep=False,
     )
-    vals = jax.jit(fn)(disp, gt, mask)
+    return jax.jit(fn)
+
+
+def sharded_evaldisp(
+    disp: jnp.ndarray,      # (B, H, W) sharded like the matcher output
+    gt: jnp.ndarray,
+    mask: jnp.ndarray,
+    mesh: Mesh,
+    bad_thresh: float = 2.0,
+    max_disp: float = 1e9,
+):
+    """Global Middlebury metrics over a sharded batch via psum."""
+    fn = _build_sharded_evaldisp(mesh, float(bad_thresh), float(max_disp))
+    vals = fn(disp, gt, mask)
     return {
         "bad_percent": vals[0],
         "invalid_percent": vals[1],

@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""BASELINE config 3 quality: TPU perceptual matcher vs the notebook oracle.
+
+Runs the literal-semantics port of the reference notebook's windowed
+LPIPS search (``perceptual/notebook_oracle.py``, cells 6-10) and the TPU
+re-design (``perceptual/cost.py``) on a real MiddEval3 crop with
+IDENTICAL VGG weights, and records how closely the re-design tracks the
+notebook (agreement, EPE) plus both pipelines' bad-2.0 against real GT
+on the crop. Writes ``baselines/perceptual_parity.json`` (gated by
+``tests/test_perceptual_oracle.py``).
+
+Pretrained LPIPS weights are not obtainable in this environment (zero
+egress; documented in perceptual/vgg.py), so the comparison uses the
+deterministic He-init tower — the *same* weights on both sides, which is
+exactly what isolates the structural approximation being scored.
+
+Usage: PYTHONPATH= JAX_PLATFORMS=cpu python tools/perceptual_parity.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+DATA_ROOT = "/root/reference/data/MiddEval3"
+
+
+def main():
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_tpu.config import PerceptualConfig
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+    from stereo_reconstruction_tpu.perceptual import (
+        get_params,
+        perceptual_window_search,
+    )
+    from stereo_reconstruction_tpu.perceptual.notebook_oracle import (
+        notebook_window_search,
+    )
+
+    pair = downsample_pair(MiddEval3(DATA_ROOT).load_training(13))  # Teddy Q
+    # crop chosen so GT disparity fits the search range (GT in crop < 44)
+    ys, xs = slice(150, 182), slice(140, 260)
+    L = np.asarray(pair.image_left, np.float32)[ys, xs]
+    R = np.asarray(pair.image_right, np.float32)[ys, xs]
+    gt = np.asarray(pair.gt_disparity, np.float32)[ys, xs]
+    D = 48
+
+    params = get_params()
+    cfg = PerceptualConfig(max_disparity=D)
+
+    t0 = time.time()
+    ours = np.asarray(
+        perceptual_window_search(params, jnp.asarray(L), jnp.asarray(R), cfg)
+    )
+    t_ours = time.time() - t0
+    t0 = time.time()
+    ref = notebook_window_search(params, L, R, max_disparity=D)
+    t_ref = time.time() - t0
+
+    # interior only: the crop's outer window band sees context the
+    # notebook's zero-padded windows do not (crop border != image border)
+    m = 8
+    o, r, g = ours[m:-m, m:-m], ref[m:-m, m:-m], gt[m:-m, m:-m]
+    known = np.isfinite(g) & (g > 0) & (g < D)
+
+    def bad2(d):
+        return 100.0 * float((np.abs(d - g)[known] > 2.0).mean())
+
+    diff = np.abs(o - r)
+    report = {
+        "scene": "Teddy trainingQ crop rows150:182 cols140:260 (interior)",
+        "max_disparity": D,
+        "weights": "he_init_seed0 (identical both sides)",
+        "agreement_exact_pct": round(100.0 * float((diff == 0).mean()), 2),
+        "agreement_2px_pct": round(100.0 * float((diff <= 2.0).mean()), 2),
+        "mean_abs_diff_px": round(float(diff.mean()), 3),
+        "bad2_vs_gt_ours_pct": round(bad2(o), 2),
+        "bad2_vs_gt_notebook_pct": round(bad2(r), 2),
+        "gt_pixels": int(known.sum()),
+        "runtime_ours_s": round(t_ours, 2),
+        "runtime_notebook_s": round(t_ref, 2),
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "..", "baselines", "perceptual_parity.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

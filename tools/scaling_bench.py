@@ -69,6 +69,10 @@ def main():
     ap.add_argument("--h", type=int, default=256)
     ap.add_argument("--w", type=int, default=320)
     ap.add_argument("--max-disparity", type=int, default=48)
+    ap.add_argument("--ba-points", type=int, default=16384,
+                    help="BA point count (large enough that per-shard "
+                         "compute dominates the 42-float psum)")
+    ap.add_argument("--mv-points", type=int, default=32768)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -103,7 +107,8 @@ def main():
     report = {
         "devices": n_dev,
         "physical_cores": os.cpu_count(),
-        "workload": {"h": h, "w": w, "D": D},
+        "workload": {"h": h, "w": w, "D": D,
+             "ba_points": args.ba_points, "mv_points": args.mv_points},
         "data_axis": {}, "tile_axis": {}, "ba": {}, "ba_multiview": {},
     }
     counts = [n for n in (1, 2, 4, 8) if n <= n_dev]
@@ -145,7 +150,7 @@ def main():
               f"eff {t_single/t_shard:.2%}", flush=True)
 
     # ---- distributed BA: points over n shards ----
-    n_pts = 512
+    n_pts = args.ba_points
     K = jnp.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]])
     aa = jnp.array([0.03, -0.05, 0.02])
     Rm = geo.angle_axis_to_rotation(aa)
@@ -190,23 +195,25 @@ def main():
         poses[m, 3:] = [0.4 * m, 0, 0.05 * m]
     poses = jnp.asarray(poses)
 
+    pts_mv = pts[:, :args.mv_points]
+
     def proj_all(pose6):
         Rmm = geo.angle_axis_to_rotation(pose6[:3])
-        return geo.project(K, geo.transform(Rmm, pose6[3:], pts))[:2].T
+        return geo.project(K, geo.transform(Rmm, pose6[3:], pts_mv))[:2].T
 
     obs = jnp.stack([proj_all(poses[m]) for m in range(M)])
     Ks = jnp.stack([K] * M)
     mcfg = BundleAdjustmentConfig(loss="l2", max_iterations=10)
     t_single = _bench(
         lambda: multiview_bundle_adjust(
-            obs, Ks, poses, pts.T + 0.02, config=mcfg),
+            obs, Ks, poses, pts_mv.T + 0.02, config=mcfg),
         reps=args.reps,
     )
     for n in counts:
         mesh = make_mesh(data=n, tile=1, devices=jax.devices()[:n])
         t_shard = _bench(
             lambda: distributed_multiview_bundle_adjust(
-                obs, Ks, poses, pts.T + 0.02, mesh=mesh, config=mcfg),
+                obs, Ks, poses, pts_mv.T + 0.02, mesh=mesh, config=mcfg),
             reps=args.reps,
         )
         report["ba_multiview"][n] = {
