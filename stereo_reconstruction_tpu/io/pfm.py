@@ -18,8 +18,16 @@ def read_pfm(path: str) -> np.ndarray:
 
     Row 0 of the returned array is the *top* image row (PFM stores rows
     bottom-up, matching the Middlebury SDK convention the reference relies
-    on).
+    on). Dispatches to the native C++ codec (native/stereo_io.cpp) when
+    built, like io/image.py.
     """
+    try:
+        from stereo_reconstruction_tpu.io import native
+
+        if native.available():
+            return native.read_pfm(path)
+    except Exception:
+        pass  # fall back to the pure-NumPy reader
     with open(path, "rb") as f:
         header = f.readline().rstrip()
         if header == b"PF":

@@ -37,7 +37,7 @@ def test_weight_vector_matches_notebook_formula():
 @pytest.mark.slow
 def test_matcher_tracks_notebook_oracle_constant_shift():
     rng = np.random.default_rng(7)
-    h, w, shift = 10, 32, 3
+    h, w, shift = 16, 32, 3   # h >= 16 keeps all 5 VGG stages non-empty
     right = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
     left = np.roll(right, shift, axis=1)          # right[x] == left[x+3]
 

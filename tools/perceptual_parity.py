@@ -48,7 +48,7 @@ def main():
     ys, xs = slice(150, 182), slice(140, 260)
     L = np.asarray(pair.image_left, np.float32)[ys, xs]
     R = np.asarray(pair.image_right, np.float32)[ys, xs]
-    gt = np.asarray(pair.gt_disparity, np.float32)[ys, xs]
+    gt = np.asarray(pair.disp_right_gt, np.float32)[ys, xs]
     D = 48
 
     params = get_params()
