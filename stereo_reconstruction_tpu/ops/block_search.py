@@ -48,6 +48,28 @@ def block_search_right(
     right = right.astype(jnp.float32)
     h = min(left.shape[0], right.shape[0])
 
+    if (
+        _use_pallas(config)
+        and not config.var_block
+        and config.cost == "ssd"
+        and config.min_disparity >= 0
+    ):
+        # fully fused TPU path: the cost volume never leaves VMEM — the
+        # Pallas kernel emits the five smoothing-scan inputs directly
+        m0, a0, c_zero, diag_up, diag_lf = pcv.pallas_matcher_inputs(
+            left, right, config.block_size,
+            config.min_disparity, config.max_disparity,
+        )
+        disp = smoothing.smoothed_argmin_from_inputs(
+            m0, a0, c_zero, diag_up, diag_lf,
+            cv.black_pixel_mask(right),
+            smooth_factor=config.smooth_factor,
+            d_first=config.min_disparity,
+            n_planes=config.max_disparity - config.min_disparity,
+        )
+        rows_valid = jnp.arange(disp.shape[0]) < h
+        return jnp.where(rows_valid[:, None], disp, 0.0)
+
     if config.var_block:
         cost = _varblock_cost(left, right, config)
     elif config.cost == "ncc":

@@ -56,8 +56,10 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     lband_ref,   # (1, 3*24, WLt) left band, rows 8i-hbs .. 8i+8+hbs-1, ch-major
     rband_ref,   # (1, 3*24, Wt)  right band, same rows
-    cost_ref,    # (Dc, 8, Wout) output planes for this (band, chunk)
-    *,
+    *out_refs,   # mode "volume": (cost_ref,) — (Dc, 8, Wtile) planes;
+                 # mode "inputs": (m0, a0, czero, dup, dlf) — (8, Wtile)
+                 # smoothing-scan inputs accumulated across dc chunks
+    mode: str,
     Dc: int,
     D: int,
     hbs: int,
@@ -65,27 +67,30 @@ def _kernel(
     H: int,
     W: int,
     WL: int,
-    Wbw: int,    # band compute width (lanes used of the right band)
-    Wout: int,
+    Wbw: int,    # band compute width for one W tile (Wtile + halo lanes)
+    Wout: int,   # output lanes per W tile
 ):
     i = pl.program_id(0)
-    dc = pl.program_id(1)
+    wt = pl.program_id(1)
+    dc = pl.program_id(2)
     hw = 2 * hbs
     band_rows = 8 + hw
     f32 = jnp.float32
+    w0 = wt * Wout                        # first global output col of tile
 
-    rb = rband_ref[0, :, :Wbw]                               # (3*br, Wbw)
+    rb = rband_ref[0, :, pl.ds(pl.multiple_of(w0, 128), Wbw)]  # (3*br, Wbw)
 
     # validity of each band element: global row in [0, H-1), col in [0, W-1)
-    # (the reference's clipped window support; lane p <-> global col p-hbs)
+    # (the reference's clipped window support; lane p <-> global col
+    # w0 + p - hbs)
     row_ids = 8 * i - hbs + lax.broadcasted_iota(jnp.int32, (band_rows, 1), 0)
     rows_ok = (row_ids >= 0) & (row_ids < H - 1)             # (br, 1)
-    col_ids = lax.broadcasted_iota(jnp.int32, (1, Wbw), 1) - hbs
+    col_ids = w0 + lax.broadcasted_iota(jnp.int32, (1, Wbw), 1) - hbs
     cols_ok = (col_ids >= 0) & (col_ids < W - 1)             # (1, Wbw)
     elem_ok = rows_ok & cols_ok                              # (br, Wbw)
 
     # per-output-pixel clipped geometry (global coords)
-    xg = lax.broadcasted_iota(jnp.int32, (8, Wout), 1)       # global x
+    xg = w0 + lax.broadcasted_iota(jnp.int32, (8, Wout), 1)  # global x
     yg = 8 * i + lax.broadcasted_iota(jnp.int32, (8, Wout), 0)
     lft = jnp.minimum(xg, hbs)
     rgt = jnp.minimum(W - 1 - xg, hbs)
@@ -98,7 +103,7 @@ def _kernel(
     # dynamic lane starts must be 128-aligned on TPU: load one aligned
     # chunk covering Dc (a multiple of 128) consecutive shifts, then take
     # static in-register slices for each disparity (fully unrolled)
-    base = pl.multiple_of(dc * Dc, 128)
+    base = pl.multiple_of(w0 + dc * Dc, 128)
     lc = lband_ref[0, :, pl.ds(base, Wbw + Dc)]              # (3*br, Wbw+Dc)
 
     # horizontal window sum as ONE MXU matmul per group of GD disparities:
@@ -114,6 +119,25 @@ def _kernel(
     xg_g = jnp.concatenate([xg] * GD, axis=0)
     rgt_g = jnp.concatenate([rgt] * GD, axis=0)
     sub_d = lax.broadcasted_iota(jnp.int32, (8 * GD, Wout), 0) // 8
+
+    if mode == "inputs":
+        m0_ref, a0_ref, cz_ref, du_ref, dl_ref = out_refs
+
+        @pl.when(dc == 0)
+        def _init():
+            m0_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
+            a0_ref[...] = jnp.zeros((8, Wout), jnp.int32)
+            cz_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
+            du_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
+            dl_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
+
+        m0_acc = m0_ref[...]
+        a0_acc = a0_ref[...]
+        cz_acc = cz_ref[...]
+        du_acc = du_ref[...]
+        dl_acc = dl_ref[...]
+    else:
+        (cost_ref,) = out_refs
 
     for g in range(Dc // GD):
         vs = []
@@ -159,7 +183,32 @@ def _kernel(
             & (d0 + sub_d < D)
         )
         cost = jnp.where(valid, cost, jnp.inf)
-        cost_ref[g * GD : (g + 1) * GD, :, :] = cost.reshape(GD, 8, Wout)
+        if mode == "volume":
+            cost_ref[g * GD : (g + 1) * GD, :, :] = cost.reshape(GD, 8, Wout)
+            continue
+
+        # mode "inputs": fold this group's GD planes into the running
+        # smoothing-scan inputs (ops/smoothing.py smoothed_argmin_reference):
+        # the volume itself never leaves VMEM.
+        for t in range(GD):
+            plane = cost[t * 8 : (t + 1) * 8]                # (8, Wout)
+            j = d0 + t                                        # traced scalar
+            # running (min, first-argmin): strict < keeps the smallest d
+            better = plane < m0_acc
+            m0_acc = jnp.where(better, plane, m0_acc)
+            a0_acc = jnp.where(better, j, a0_acc)
+            # plane of candidate d == 0 (global plane index -min_d)
+            cz_acc = jnp.where(j == -min_d, plane, cz_acc)
+            # diagonals: cost[x - min_d] (up-sentinel) / cost[x-1-min_d]
+            du_acc = jnp.where(xg == j + min_d, plane, du_acc)
+            dl_acc = jnp.where(xg - 1 == j + min_d, plane, dl_acc)
+
+    if mode == "inputs":
+        m0_ref[...] = m0_acc
+        a0_ref[...] = a0_acc
+        cz_ref[...] = cz_acc
+        du_ref[...] = du_acc
+        dl_ref[...] = dl_acc
 
 
 @functools.partial(
@@ -182,6 +231,50 @@ def pallas_cost_volume_right_ssd(
     integer-valued window sums; summation order differs only in f32
     rounding beyond ~2^24).
     """
+    out = _run(left, right, block_size, min_disparity, max_disparity,
+               d_chunk, interpret, mode="volume")
+    H, W = right.shape[:2]
+    return out[: max_disparity - min_disparity, :H, :W]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "min_disparity", "max_disparity",
+                     "d_chunk", "interpret"),
+)
+def pallas_matcher_inputs(
+    left: jnp.ndarray,    # (H, W_l, 3)
+    right: jnp.ndarray,   # (H, W, 3)
+    block_size: int = 17,
+    min_disparity: int = 0,
+    max_disparity: int = 200,
+    d_chunk: int = 128,
+    interpret: bool = False,
+):
+    """Fused cost-volume + smoothing-input reduction: the (D, H, W)
+    volume never leaves VMEM.
+
+    Returns the five (H, W) inputs of the exact smoothing row scan
+    (ops/smoothing.py ``smoothed_argmin_reference``):
+      m0       min over D of the cost volume
+      a0       first-argmin plane index (int32)
+      c_zero   the d == 0 plane (+inf everywhere if 0 not in range)
+      diag_up  cost[x - min_disparity, y, x]   (+inf out of range)
+      diag_lf  cost[x-1-min_disparity, y, x]   (+inf out of range)
+
+    vs the unfused path this removes the volume's HBM round trip
+    (write D*H*W + ~6 reduction read passes -> 5 H*W planes out).
+    """
+    m0, a0, cz, du, dl = _run(
+        left, right, block_size, min_disparity, max_disparity,
+        d_chunk, interpret, mode="inputs",
+    )
+    H, W = right.shape[:2]
+    return (m0[:H, :W], a0[:H, :W], cz[:H, :W], du[:H, :W], dl[:H, :W])
+
+
+def _run(left, right, block_size, min_disparity, max_disparity,
+         d_chunk, interpret, mode):
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     H, W = right.shape[:2]
@@ -193,10 +286,15 @@ def pallas_cost_volume_right_ssd(
     H8 = _cdiv(H, 8)
     Dc = _round_up(max(1, min(d_chunk, D)), 128)  # aligned chunk loads
     Dp = _round_up(D, Dc)
-    Wout = _round_up(W, 128)
+    # width tiling: wide images would otherwise blow the ~16 MB VMEM
+    # scoped budget (the (Dc, 8, W) output block and the (W+halo, W)
+    # banded matmul matrix both scale with W)
+    Wout = min(_round_up(W, 128), 512)            # output lanes per W tile
+    Wn = _cdiv(_round_up(W, 128), Wout)
+    Wpad = Wn * Wout
     Wbw = Wout + _round_up(hw, 128)
-    Wt = Wbw
-    WLt = Wbw + _round_up(Dp, 128)
+    Wt = Wpad + _round_up(hw, 128)
+    WLt = Wt + _round_up(Dp, 128)
 
     # channel-major 24-row bands, front-padded by hbs lanes (lane p <->
     # global col p - hbs); the left image pre-shifted by min_disparity so
@@ -217,20 +315,28 @@ def pallas_cost_volume_right_ssd(
     rband = bands(right, W, 0, Wt)
 
     kernel = functools.partial(
-        _kernel, Dc=Dc, D=D, hbs=hbs, min_d=min_disparity,
+        _kernel, mode=mode, Dc=Dc, D=D, hbs=hbs, min_d=min_disparity,
         H=H, W=W, WL=WL, Wbw=Wbw, Wout=Wout,
     )
 
-    out = pl.pallas_call(
+    if mode == "volume":
+        out_specs = pl.BlockSpec((Dc, 8, Wout), lambda i, wt, dc: (dc, i, wt))
+        out_shape = jax.ShapeDtypeStruct((Dp, 8 * H8, Wpad), jnp.float32)
+    else:
+        plane = pl.BlockSpec((8, Wout), lambda i, wt, dc: (i, wt))
+        out_specs = [plane] * 5
+        f32p = jax.ShapeDtypeStruct((8 * H8, Wpad), jnp.float32)
+        out_shape = [f32p, jax.ShapeDtypeStruct((8 * H8, Wpad), jnp.int32),
+                     f32p, f32p, f32p]
+
+    return pl.pallas_call(
         kernel,
-        grid=(H8, Dp // Dc),
+        grid=(H8, Wn, Dp // Dc),
         in_specs=[
-            pl.BlockSpec((1, 3 * (8 + hw), WLt), lambda i, dc: (i, 0, 0)),
-            pl.BlockSpec((1, 3 * (8 + hw), Wt), lambda i, dc: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * (8 + hw), WLt), lambda i, wt, dc: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * (8 + hw), Wt), lambda i, wt, dc: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((Dc, 8, Wout), lambda i, dc: (dc, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((Dp, 8 * H8, Wout), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(lband, rband)
-
-    return out[:D, :H, :W]

@@ -77,10 +77,6 @@ def smoothed_argmin_reference(
     D-sized work; the volume passes are fully parallel.
     """
     D, h, w = cost.shape
-    sf = jnp.float32(smooth_factor)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    xi = jnp.arange(w)
-    sentinel = -xs
 
     # batched over the whole volume (the heavy part, fully parallel):
     m0 = jnp.min(cost, axis=0)                       # (H, W)
@@ -90,6 +86,7 @@ def smoothed_argmin_reference(
     c_zero = (
         cost[i_zero] if 0 <= i_zero < D else jnp.full((h, w), jnp.inf)
     )
+    xi = jnp.arange(w)
     # diag extraction for sentinel neighbors: candidate d == x (up) and
     # d == x-1 (left), i.e. plane index varies along W only. A one-hot
     # contraction (one fused multiply+reduce pass over the volume) instead
@@ -109,6 +106,39 @@ def smoothed_argmin_reference(
         (xi - 1 >= d_first) & (xi - 1 < d_first + D) & (inf_lf == 0),
         diag_lf, jnp.inf,
     )
+
+    return smoothed_argmin_from_inputs(
+        m0, a0, c_zero, diag_up, diag_lf, black,
+        smooth_factor=smooth_factor, d_first=d_first, n_planes=D,
+        first_flags=first_flags,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("d_first", "n_planes"))
+def smoothed_argmin_from_inputs(
+    m0: jnp.ndarray,          # (H, W) min over D
+    a0: jnp.ndarray,          # (H, W) int32 first-argmin plane index
+    c_zero: jnp.ndarray,      # (H, W) the d == 0 plane (+inf if no plane)
+    diag_up: jnp.ndarray,     # (H, W) cost[x - d_first]   (+inf o.o.r.)
+    diag_lf: jnp.ndarray,     # (H, W) cost[x-1-d_first]   (+inf o.o.r.)
+    black: jnp.ndarray,       # (H, W) bool
+    smooth_factor: float = 0.9,
+    d_first: int = 0,
+    n_planes: int = 1,
+    first_flags: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The exact smoothing row scan from precomputed volume reductions.
+
+    The five (H, W) inputs are produced either by the XLA front-end above
+    or — with the full volume never leaving VMEM — by the fused Pallas
+    kernel (ops/pallas_cost_volume.py ``pallas_matcher_inputs``)."""
+    h, w = m0.shape
+    D = n_planes
+    sf = jnp.float32(smooth_factor)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    xi = jnp.arange(w)
+    sentinel = -xs
+    i_zero = -d_first
     i_lf = jnp.clip(xi - 1 - d_first, 0, D - 1).astype(jnp.int32)
 
     def lexmin(v1, i1, v2, i2):

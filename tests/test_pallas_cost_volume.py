@@ -60,8 +60,9 @@ def test_pallas_cost_volume_matches_xla_path(rng):
 
 @pytest.mark.slow
 def test_block_search_pallas_backend_matches_loop_oracle(rng):
-    """End-to-end: block_search_right with backend='pallas' (interpret on
-    CPU) reproduces the sequential reference recurrence."""
+    """End-to-end: block_search_right with backend='pallas' — the fused
+    matcher-inputs kernel (interpret on CPU) — reproduces the sequential
+    reference recurrence."""
     left, right = _random_stereo(rng, h=28, w=40, max_d=8)
     cfg = MatcherConfig(block_size=7, min_disparity=0, max_disparity=10,
                         smooth_factor=0.9, row_smooth_iters=2,
@@ -70,8 +71,8 @@ def test_block_search_pallas_backend_matches_loop_oracle(rng):
     import functools
 
     # route the backend through interpret mode for the CPU test
-    orig = pcv.pallas_cost_volume_right_ssd
-    block_search.pcv.pallas_cost_volume_right_ssd = functools.partial(
+    orig = pcv.pallas_matcher_inputs
+    block_search.pcv.pallas_matcher_inputs = functools.partial(
         orig, interpret=True
     )
     try:
@@ -81,10 +82,51 @@ def test_block_search_pallas_backend_matches_loop_oracle(rng):
             )
         )
     finally:
-        block_search.pcv.pallas_cost_volume_right_ssd = orig
+        block_search.pcv.pallas_matcher_inputs = orig
     want = oracle.block_search_right_loop(
         left, right, block_size=7, min_disparity=0, max_disparity=10,
         smooth_factor=0.9,
     )
     agree = (got == want).mean()
     assert agree > 0.99, f"only {agree:.3%} agreement"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("min_d,max_d,bs", [(0, 10, 7), (2, 12, 5)])
+def test_pallas_matcher_inputs_match_volume_reductions(rng, min_d, max_d, bs):
+    """The fused kernel's five smoothing-scan inputs == the same
+    reductions computed from the full cost volume (bit-level)."""
+    from stereo_reconstruction_tpu.ops.pallas_cost_volume import (
+        pallas_matcher_inputs,
+    )
+
+    left, right = _random_stereo(rng, h=21, w=40, max_d=8)
+    left = np.pad(left, ((0, 0), (0, 9), (0, 0)))
+    cost = np.asarray(
+        cv.cost_volume_right_ssd(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            block_size=bs, min_disparity=min_d, max_disparity=max_d,
+        )
+    )
+    D, h, w = cost.shape
+    m0, a0, cz, du, dl = (
+        np.asarray(x) for x in pallas_matcher_inputs(
+            jnp.asarray(left, jnp.float32), jnp.asarray(right, jnp.float32),
+            block_size=bs, min_disparity=min_d, max_disparity=max_d,
+            interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(m0, cost.min(axis=0))
+    np.testing.assert_array_equal(a0, cost.argmin(axis=0))
+    i_zero = -min_d
+    want_cz = cost[i_zero] if 0 <= i_zero < D else np.full((h, w), np.inf)
+    np.testing.assert_array_equal(cz, want_cz)
+    want_du = np.full((h, w), np.inf, np.float32)
+    want_dl = np.full((h, w), np.inf, np.float32)
+    for x in range(w):
+        if 0 <= x - min_d < D:
+            want_du[:, x] = cost[x - min_d, :, x]
+        if 0 <= x - 1 - min_d < D:
+            want_dl[:, x] = cost[x - 1 - min_d, :, x]
+    np.testing.assert_array_equal(du, want_du)
+    np.testing.assert_array_equal(dl, want_dl)

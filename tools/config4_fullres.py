@@ -163,6 +163,11 @@ def run_tpu(D: int = 256):
     disp_crop = np.asarray(f(jnp.asarray(Lc), jnp.asarray(Rc)))
     ref_crop = oracle.block_search_right_fast(Lc, Rc, 17, 0, D, 0.9)
     crop_agree = float((disp_crop == ref_crop).mean())
+    # 2x-nearest-upsampled inputs make adjacent disparities tie exactly;
+    # f32 summation-order noise flips such ties, so also record the
+    # disparity-error view of the disagreement
+    diff = np.abs(disp_crop - ref_crop)
+    within2 = float((diff <= 2.0).mean())
 
     merge_write({"tpu_single_chip": {
         "image": f"{h}x{w}", "D": D,
@@ -170,6 +175,8 @@ def run_tpu(D: int = 256):
         "t_first_incl_compile_s": round(t_compile_first, 1),
         "t_warm_s": round(t_warm, 2),
         "oracle_agreement_crop": round(crop_agree, 6),
+        "oracle_within_2px_crop": round(within2, 6),
+        "oracle_mean_abs_diff_crop": round(float(diff.mean()), 4),
     }})
 
 
