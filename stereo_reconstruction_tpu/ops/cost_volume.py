@@ -51,48 +51,14 @@ def right_window_geometry(h: int, w: int, block_size: int):
     return left, right, up, down, area
 
 
-def _shift_fwd(x: jnp.ndarray, s: int, axis: int) -> jnp.ndarray:
-    """out[i] = x[i + s] with zero fill past the end (static slice + pad)."""
-    if s == 0:
-        return x
-    n = x.shape[axis]
-    sl = [slice(None)] * x.ndim
-    sl[axis] = slice(s, n)
-    pad = [(0, 0)] * x.ndim
-    pad[axis] = (0, s)
-    return jnp.pad(x[tuple(sl)], pad)
-
-
-def sliding_sum(x: jnp.ndarray, size: int, axis: int) -> jnp.ndarray:
-    """out[i] = sum_{k=0}^{size-1} x[i+k] (zero past the end) via a
-    doubling-shift tree: O(log size) adds per element, numerically exact
-    (no integral-image prefix growth) and ~4x less VPU work than a
-    reduce_window of the same width."""
-    pows = {1: x}
-    p = 1
-    while p * 2 <= size:
-        pows[p * 2] = pows[p] + _shift_fwd(pows[p], p, axis)
-        p *= 2
-    out = None
-    offset = 0
-    bit = p
-    while bit >= 1:
-        if size & bit:
-            term = _shift_fwd(pows[bit], offset, axis)
-            out = term if out is None else out + term
-            offset += bit
-        bit //= 2
-    return out
-
-
 def _centered_sliding_sum(plane: jnp.ndarray, size: int, before: int, axis: int):
     """out[i] = sum_{k=-before}^{size-1-before} plane[i+k], zeros outside.
 
     Lowered as a 1-D zero-padded reduce_window: the separable 1-D form
-    compiles fast and runs well on TPU; the doubling-shift tree
-    (``sliding_sum``) is numerically identical and does ~4x fewer adds but
-    its pad-heavy graph blows up XLA:TPU compile time at D=200 scale, so
-    it is kept only as a utility.
+    compiles fast and runs well on TPU. (A doubling-shift tree is
+    numerically identical with ~4x fewer adds, but its pad-heavy graph
+    blows up XLA:TPU compile time at D=200 scale; the Pallas kernel uses
+    that tree inside VMEM where it belongs.)
     """
     lead = [(0, 0)] * plane.ndim
     window = [1] * plane.ndim

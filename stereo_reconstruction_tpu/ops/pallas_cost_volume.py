@@ -130,16 +130,10 @@ def _kernel(
             cz_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
             du_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
             dl_ref[...] = jnp.full((8, Wout), jnp.inf, f32)
-
-        m0_acc = m0_ref[...]
-        a0_acc = a0_ref[...]
-        cz_acc = cz_ref[...]
-        du_acc = du_ref[...]
-        dl_acc = dl_ref[...]
     else:
         (cost_ref,) = out_refs
 
-    for g in range(Dc // GD):
+    def group_body(g, d0):
         vs = []
         for t in range(GD):
             j = g * GD + t
@@ -175,7 +169,6 @@ def _kernel(
             preferred_element_type=jnp.float32,
         )                                                    # (128, Wout)
 
-        d0 = dc * Dc + g * GD
         cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g
         valid = (
             pos_area_g
@@ -185,11 +178,16 @@ def _kernel(
         cost = jnp.where(valid, cost, jnp.inf)
         if mode == "volume":
             cost_ref[g * GD : (g + 1) * GD, :, :] = cost.reshape(GD, 8, Wout)
-            continue
+            return
 
         # mode "inputs": fold this group's GD planes into the running
         # smoothing-scan inputs (ops/smoothing.py smoothed_argmin_reference):
         # the volume itself never leaves VMEM.
+        m0_acc = m0_ref[...]
+        a0_acc = a0_ref[...]
+        cz_acc = cz_ref[...]
+        du_acc = du_ref[...]
+        dl_acc = dl_ref[...]
         for t in range(GD):
             plane = cost[t * 8 : (t + 1) * 8]                # (8, Wout)
             j = d0 + t                                        # traced scalar
@@ -202,13 +200,28 @@ def _kernel(
             # diagonals: cost[x - min_d] (up-sentinel) / cost[x-1-min_d]
             du_acc = jnp.where(xg == j + min_d, plane, du_acc)
             dl_acc = jnp.where(xg - 1 == j + min_d, plane, dl_acc)
-
-    if mode == "inputs":
         m0_ref[...] = m0_acc
         a0_ref[...] = a0_acc
         cz_ref[...] = cz_acc
         du_ref[...] = du_acc
         dl_ref[...] = dl_acc
+
+    # skip whole groups past the last real plane: D need not divide Dc, so
+    # the final chunk's tail groups would otherwise burn VPU/MXU cycles
+    # computing all-inf planes (22% of the kernel at D=200 -> Dp=256)
+    for g in range(Dc // GD):
+        d0 = dc * Dc + g * GD
+
+        if mode == "volume":
+            @pl.when(d0 >= D)
+            def _pad(g=g):
+                cost_ref[g * GD : (g + 1) * GD, :, :] = jnp.full(
+                    (GD, 8, Wout), jnp.inf, f32
+                )
+
+        @pl.when(d0 < D)
+        def _do(g=g, d0=d0):
+            group_body(g, d0)
 
 
 @functools.partial(
