@@ -57,7 +57,9 @@ class RansacConfig:
     same accept thresholds drive K vmapped hypotheses scored in parallel.
     """
 
-    num_hypotheses: int = 128         # replaces maxIter=100 sequential trips
+    num_hypotheses: int = 256         # replaces maxIter=100 sequential trips
+                                      # (vmapped 8pt solves are cheap; 256
+                                      # de-noises the sample lottery)
     # minimal samples maximize the clean-sample rate for parallel RANSAC
     # (the reference's 12-point N_KEYPOINTS_8PT, eight_point.cpp:11, suits
     # its sequential point-swap refinement instead)

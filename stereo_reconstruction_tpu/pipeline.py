@@ -18,6 +18,7 @@ Stage boundary layout:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import time
@@ -63,29 +64,41 @@ class PipelineResult:
     timings: Dict[str, float]
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
+def _pose_device(key, image_left, image_right, K_left, K_right,
+                 config: PipelineConfig) -> PoseEstimate:
+    """The whole sparse-pose stage as ONE device program: SIFT x2 ->
+    match -> on-device valid-compaction -> RANSAC 8pt -> filter -> BA.
+    One host->device call instead of five (each call through the axon
+    relay costs ~45 ms fixed latency), and no per-scene recompile (the
+    valid-match count is a traced scalar, not a static shape)."""
+    kp_l = detect_and_describe(image_left, config.frontend)
+    kp_r = detect_and_describe(image_right, config.frontend)
+    matches = match_descriptors(kp_l, kp_r, config.frontend)
+    ml, mr, valid = matches_to_homogeneous(matches)
+
+    # compact valid matches to the front (stable: original order kept)
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    ml = ml[:, order]
+    mr = mr[:, order]
+    n_valid = jnp.sum(valid)
+
+    return estimate_pose_from_matches(
+        key, ml, mr, K_left, K_right, config, num_matches_valid=n_valid,
+    )
+
+
 def estimate_pose(pair: StereoPair, config: PipelineConfig, key=None) -> PoseEstimate:
     """SIFT x2 -> match -> RANSAC 8pt -> filter -> BA
     (reference runFullPoseEstimation, pose_estimation.cpp:4-115)."""
     key = jax.random.key(config.seed) if key is None else key
-    kp_l = detect_and_describe(jnp.asarray(pair.image_left), config.frontend)
-    kp_r = detect_and_describe(jnp.asarray(pair.image_right), config.frontend)
-    matches = match_descriptors(kp_l, kp_r, config.frontend)
-    ml, mr, valid = matches_to_homogeneous(matches)
-
-    # compact valid matches to the front (host-side; shapes stay static)
-    order = np.argsort(~np.asarray(valid), kind="stable")
-    ml = jnp.asarray(np.asarray(ml)[:, order])
-    mr = jnp.asarray(np.asarray(mr)[:, order])
-    n_valid = int(np.asarray(valid).sum())
-
-    return estimate_pose_from_matches(
+    return _pose_device(
         key,
-        ml,
-        mr,
+        jnp.asarray(pair.image_left),
+        jnp.asarray(pair.image_right),
         jnp.asarray(pair.intrinsics_left),
         jnp.asarray(pair.intrinsics_right),
         config,
-        num_matches_valid=n_valid,
     )
 
 

@@ -45,7 +45,7 @@ class PoseEstimate(NamedTuple):
     valid: jnp.ndarray            # () bool: RANSAC produced a valid pose
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_matches_valid"))
+@functools.partial(jax.jit, static_argnames=("config",))
 def estimate_pose_from_matches(
     key: jax.Array,
     matches_left: jnp.ndarray,    # (3, N) homogeneous pixel coords
@@ -53,7 +53,7 @@ def estimate_pose_from_matches(
     K_left: jnp.ndarray,
     K_right: jnp.ndarray,
     config: PipelineConfig = PipelineConfig(),
-    num_matches_valid: int | None = None,
+    num_matches_valid=None,       # int or traced scalar (None -> all N)
 ) -> PoseEstimate:
     n = matches_left.shape[-1]
     n_valid = n if num_matches_valid is None else num_matches_valid

@@ -58,7 +58,7 @@ class RansacResult(NamedTuple):
     valid: jnp.ndarray          # () bool: at least one cheirality-valid hyp
 
 
-@functools.partial(jax.jit, static_argnames=("config", "num_matches_valid"))
+@functools.partial(jax.jit, static_argnames=("config",))
 def ransac_eight_point(
     key: jax.Array,
     matches_left: jnp.ndarray,    # (3, N) homogeneous pixels
@@ -66,18 +66,23 @@ def ransac_eight_point(
     K_left: jnp.ndarray,
     K_right: jnp.ndarray,
     config: RansacConfig = RansacConfig(),
-    num_matches_valid: int | None = None,
+    num_matches_valid=None,       # int or traced scalar (None -> all N)
 ) -> RansacResult:
     n = matches_left.shape[-1]
     n_valid = n if num_matches_valid is None else num_matches_valid
     k = config.num_hypotheses
     s = config.sample_size
 
-    # K independent samples of `s` distinct indices in [0, n_valid)
+    # K independent samples of `s` distinct indices in [0, n_valid):
+    # uniform random ranks restricted to the valid prefix (traceable in
+    # n_valid, unlike jax.random.permutation(n_valid))
     keys = jax.random.split(key, k)
+    col_ok = jnp.arange(n) < n_valid
+
     def draw(subkey):
-        perm = jax.random.permutation(subkey, n_valid)
-        return perm[:s]
+        u = jnp.where(col_ok, jax.random.uniform(subkey, (n,)), jnp.inf)
+        return jnp.argsort(u)[:s]
+
     samples = jax.vmap(draw)(keys)                       # (K, s)
 
     sl = jnp.take(matches_left, samples, axis=1)         # (3, K, s)

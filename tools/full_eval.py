@@ -104,8 +104,14 @@ def main():
         recon=dataclasses.replace(base.recon, outlier_kernel=251),
     )
 
+    import jax
+
     results = {}
     for idx in scenes:
+        # every scene has its own image shape -> its own compiles; drop the
+        # previous scene's executables or LLVM section memory accumulates
+        # past the allocator's limit over 15 scenes (observed OOM)
+        jax.clear_caches()
         pair = downsample_pair(ds.load_training(idx))
         print(f"=== [{idx}] {pair.name} {pair.image_right.shape} ===", flush=True)
         rec = {"index": idx, "shape": list(np.asarray(pair.image_right).shape[:2])}
