@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stereo_reconstruction_tpu.config import BundleAdjustmentConfig
 from stereo_reconstruction_tpu.ops import geometry as geo
@@ -123,7 +123,7 @@ def _build_dist_ba(mesh: Mesh, config: BundleAdjustmentConfig,
             P(), P(), P(),
         ),
         out_specs=(P(), P(shard_axes, None), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

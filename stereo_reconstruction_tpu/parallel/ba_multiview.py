@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stereo_reconstruction_tpu.config import BundleAdjustmentConfig
 from stereo_reconstruction_tpu.ops import geometry as geo
@@ -219,7 +219,7 @@ def _build_dist_multiview_ba(mesh: Mesh, config: BundleAdjustmentConfig,
             P(), P(),
         ),
         out_specs=(P(), P(shard_axes, None), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -262,7 +262,7 @@ def _build_fuse(mesh: Mesh, shard_axes: tuple):
         local, mesh=mesh,
         in_specs=(P(shard_axes, None),),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from stereo_reconstruction_tpu.config import MatcherConfig
 from stereo_reconstruction_tpu.ops import cost_volume as cv
@@ -113,7 +113,7 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
     spec_out = P("data", "tile", None)
     fn = shard_map(
         local, mesh=mesh, in_specs=(spec_in, spec_in), out_specs=spec_out,
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -167,7 +167,7 @@ def _build_sharded_evaldisp(mesh: Mesh, bad_thresh: float, max_disp: float):
     spec = P("data", "tile", None)
     fn = shard_map(
         local, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=P(), check_rep=False,
+        out_specs=P(), check_vma=False,
     )
     return jax.jit(fn)
 
