@@ -81,9 +81,13 @@ def _build_dist_ba(mesh: Mesh, config: BundleAdjustmentConfig,
             S_local = B - jnp.einsum("nij,nkj->ik", EC, E)
             rhs_local = v - jnp.einsum("nij,nj->i", EC, g)
 
-            # THE collective: reduce the 6x6 camera system across shards
-            S = psum_all(S_local) + lam * jnp.eye(6)
-            rhs = psum_all(rhs_local)
+            # THE collective: reduce the 6x6 camera system across shards.
+            # S and rhs ride ONE packed psum (42 floats) — on a latency-
+            # bound fabric (DCN / Gloo) one collective phase per LM step
+            # beats two.
+            packed = psum_all(jnp.concatenate([S_local.reshape(-1), rhs_local]))
+            S = packed[:36].reshape(6, 6) + lam * jnp.eye(6)
+            rhs = packed[36:]
             d_pose = jnp.linalg.solve(S, rhs)
 
             d_X = jnp.einsum(

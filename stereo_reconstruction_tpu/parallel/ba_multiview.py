@@ -122,8 +122,11 @@ def _lm_core(poses0, X0_blk, obs_blk, w_blk, Ks, config, psum_fn):
         )
         rhs = (v - jnp.einsum("nmij,nj->mi", EC, g)).reshape(6 * M)
 
-        S = psum_fn(S)
-        rhs = psum_fn(rhs)
+        # one packed psum per LM step (36M^2 + 6M floats) — a single
+        # collective phase instead of two on latency-bound fabrics
+        packed = psum_fn(jnp.concatenate([S.reshape(-1), rhs]))
+        S = packed[: 36 * M * M].reshape(6 * M, 6 * M)
+        rhs = packed[36 * M * M:]
 
         # gauge: pin camera 0 (unit diagonal, zero rhs) + LM damping
         diag_fix = jnp.concatenate(

@@ -1,0 +1,268 @@
+#!/usr/bin/env python3
+"""True multi-process scaling bench (the "2+ hosts" north-star check).
+
+SCALING.json measures sharding efficiency inside ONE process on a virtual
+device mesh; this tool runs the same sharded entry points across REAL
+separate processes joined with ``jax.distributed`` — each pinned to its
+own CPU core, 1 XLA CPU device per process, all cross-process traffic
+through XLA collectives on the Gloo backend (the CPU stand-in for
+ICI/DCN; the program is identical on a TPU pod, SURVEY.md §5
+"Distributed communication backend").
+
+Workloads (all through ``parallel.multihost`` + the production sharded
+entry points):
+  1. matcher/data axis, weak scaling — each process matches its own
+     pair; collectives: the evaldisp psum. eff = T1 / Tn.
+  2. matcher/tile axis, strong scaling — ONE pair's rows sharded across
+     processes; collectives: ppermute halo exchange ACROSS PROCESSES.
+     eff = T1 / (n * Tn). The warm-up rows each tile re-runs for the
+     smoothing recurrence are real extra work (~12% at these shapes), so
+     the structural ceiling is ~0.89, not 1.0.
+  3. distributed Schur BA, weak scaling — 8192 points per process,
+     psum'd 6x6 camera system. eff = T1 / Tn.
+
+Correctness across processes is asserted in-run: the tile-sharded
+disparity is gathered and compared against the single-device matcher on
+the same inputs (agreement), and the psum'd evaldisp must match the
+local metric.
+
+Writes MULTIHOST.json (gated by tests/test_multihost.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PORT_BASE = 12680
+
+# -- child ------------------------------------------------------------------
+
+
+def child_main(n: int, proc: int, port: int) -> None:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    sys.path.insert(0, REPO)
+
+    from stereo_reconstruction_tpu.parallel import multihost
+
+    multihost.initialize(f"127.0.0.1:{port}", n, proc)
+    assert jax.process_count() == n and jax.local_device_count() == 1
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    from stereo_reconstruction_tpu.config import (
+        BundleAdjustmentConfig,
+        MatcherConfig,
+    )
+    from stereo_reconstruction_tpu.ops import geometry as geo
+    from stereo_reconstruction_tpu.ops.block_search import block_search_right
+    from stereo_reconstruction_tpu.ops.metrics import evaldisp
+    from stereo_reconstruction_tpu.parallel import (
+        distributed_bundle_adjust,
+        sharded_block_search_right,
+        sharded_evaldisp,
+    )
+
+    rng = np.random.default_rng(7)  # identical stream on every process
+    cfg = MatcherConfig(block_size=11, min_disparity=0, max_disparity=64,
+                        backend="xla")
+    report = {}
+
+    def timed(fn, reps=3):
+        fn()  # compile + warm
+        multihost_utils.sync_global_devices("timer")
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # ---- 1. data axis: one pair per process (weak) ----
+    H, W = 256, 320
+    mesh = multihost.global_mesh(data=n, tile=1)
+    full_l = rng.integers(1, 255, (n, H, W, 3)).astype(np.float32)
+    full_r = rng.integers(1, 255, (n, H, W, 3)).astype(np.float32)
+    spec = P("data", None, None, None)
+    gl = multihost.from_local_shards(full_l[proc:proc + 1], mesh, spec)
+    gr = multihost.from_local_shards(full_r[proc:proc + 1], mesh, spec)
+    gt = multihost.from_local_shards(
+        rng.uniform(0, 64, (n, H, W)).astype(np.float32)[proc:proc + 1],
+        mesh, P("data", None, None))
+    mask = multihost.from_local_shards(
+        np.full((1, H, W), 255, np.uint8), mesh, P("data", None, None))
+
+    def step_data():
+        d = sharded_block_search_right(gl, gr, mesh, cfg)
+        m = sharded_evaldisp(d, gt, mask, mesh, bad_thresh=2.0, max_disp=64.0)
+        jax.block_until_ready(m["bad_percent"])
+        return d, m
+
+    report["matcher_data_s"] = timed(lambda: step_data())
+
+    # cross-process metric correctness: psum'd evaldisp == local evaldisp
+    d_g, m_g = step_data()
+    d_all = np.asarray(multihost_utils.process_allgather(d_g, tiled=True))
+    gt_all = np.asarray(multihost_utils.process_allgather(gt, tiled=True))
+    local_bad = float(evaldisp(
+        jnp.asarray(d_all.reshape(-1, W)), jnp.asarray(gt_all.reshape(-1, W)),
+        jnp.full((n * H, W), 255, jnp.uint8), 2.0, 64.0)["bad_percent"])
+    report["evaldisp_psum_abs_diff"] = abs(float(m_g["bad_percent"]) - local_bad)
+
+    # ---- 2. tile axis: one pair, rows sharded (strong) ----
+    Ht = 512
+    mesh_t = multihost.global_mesh(data=1, tile=n)
+    pair_l = rng.integers(1, 255, (1, Ht, W, 3)).astype(np.float32)
+    pair_r = rng.integers(1, 255, (1, Ht, W, 3)).astype(np.float32)
+    rows = Ht // n
+    spec_t = P("data", "tile", None, None)
+    tl = multihost.from_local_shards(
+        pair_l[:, proc * rows:(proc + 1) * rows], mesh_t, spec_t)
+    tr = multihost.from_local_shards(
+        pair_r[:, proc * rows:(proc + 1) * rows], mesh_t, spec_t)
+
+    def step_tile():
+        d = sharded_block_search_right(tl, tr, mesh_t, cfg, warmup=16)
+        jax.block_until_ready(d)
+        return d
+
+    report["matcher_tile_s"] = timed(lambda: step_tile())
+
+    # cross-process halo correctness: gathered sharded disparity vs the
+    # single-device matcher on the same pair
+    d_t = np.asarray(
+        multihost_utils.process_allgather(step_tile(), tiled=True))[0]
+    d_ref = np.asarray(block_search_right(
+        jnp.asarray(pair_l[0]), jnp.asarray(pair_r[0]), cfg))
+    report["tile_agreement"] = float(np.mean(d_t == d_ref))
+
+    # ---- 3. distributed Schur BA (weak: 32768 points/process) ----
+    pts_per = 32768
+    N = pts_per * n
+    K = np.array([[300.0, 0, 80], [0, 300.0, 64], [0, 0, 1]])
+    aa = np.array([0.02, -0.03, 0.01])
+    R = np.asarray(geo.angle_axis_to_rotation(jnp.asarray(aa)))
+    T = np.array([-0.5, 0.02, 0.1])
+    depths = rng.uniform(4, 8, N).astype(np.float32)
+    xl = np.concatenate(
+        [rng.uniform(-0.2, 0.2, (2, N)).astype(np.float32), np.ones((1, N), np.float32)])
+    pts = (xl * depths[None, :]).astype(np.float32)
+    pts_r = R @ pts + T[:, None]
+    kp_l = (K @ (pts / pts[2])).astype(np.float32)
+    kp_r = (K @ (pts_r / pts_r[2])).astype(np.float32)
+
+    sl = slice(proc * pts_per, (proc + 1) * pts_per)
+    spec_pts = P(None, ("data", "tile"))
+    g_kpl = multihost.from_local_shards(kp_l[:, sl], mesh, spec_pts)
+    g_kpr = multihost.from_local_shards(kp_r[:, sl], mesh, spec_pts)
+    g_X0 = multihost.from_local_shards(
+        pts[:, sl] + 0.02, mesh, spec_pts)
+    g_w = multihost.from_local_shards(
+        np.ones(pts_per, np.float32), mesh, P(("data", "tile")))
+    R0 = geo.angle_axis_to_rotation(jnp.asarray(aa + 0.02))
+
+    def step_ba():
+        res = distributed_bundle_adjust(
+            g_kpl, g_kpr, jnp.asarray(K), jnp.asarray(K),
+            init_rotation=R0, init_translation=jnp.asarray(T + 0.05),
+            init_points=g_X0, mesh=mesh, weights=g_w,
+            config=BundleAdjustmentConfig(max_iterations=10),
+        )
+        jax.block_until_ready(res.pose)
+        return res
+
+    report["ba_s"] = timed(lambda: step_ba())
+    res = step_ba()
+    report["ba_cost_ratio"] = float(res.final_cost) / max(
+        float(res.initial_cost), 1e-12)
+
+    multihost_utils.sync_global_devices("done")
+    if proc == 0:
+        print("CHILD_JSON " + json.dumps(report), flush=True)
+
+
+# -- parent -----------------------------------------------------------------
+
+
+def run_group(n: int, port: int) -> dict:
+    procs = []
+    taskset = shutil.which("taskset")
+    ncores = os.cpu_count() or 1
+    for i in range(n):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--child", str(i), "--n", str(n), "--port", str(port)]
+        if taskset:
+            cmd = [taskset, "-c", str(i % ncores)] + cmd
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+        procs.append(subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, cwd=REPO, env=env))
+    out0, _ = procs[0].communicate(timeout=1200)
+    for p in procs[1:]:
+        p.communicate(timeout=1200)
+    if any(p.returncode != 0 for p in procs):
+        sys.stderr.write(out0[-4000:])
+        raise RuntimeError(f"group n={n} failed")
+    for line in out0.splitlines():
+        if line.startswith("CHILD_JSON "):
+            return json.loads(line[len("CHILD_JSON "):])
+    sys.stderr.write(out0[-4000:])
+    raise RuntimeError("no CHILD_JSON from proc 0")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", type=int, default=None)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--port", type=int, default=PORT_BASE)
+    ap.add_argument("--out", default=os.path.join(REPO, "MULTIHOST.json"))
+    args = ap.parse_args()
+
+    if args.child is not None:
+        child_main(args.n, args.child, args.port)
+        return
+
+    n = args.n
+    r1 = run_group(1, PORT_BASE + 1)
+    rn = run_group(n, PORT_BASE + 2)
+
+    report = {
+        "backend": "cpu+gloo (jax.distributed, 1 device/process, "
+                   "core-pinned)",
+        "processes": n,
+        "baseline_1proc": r1,
+        f"group_{n}proc": rn,
+        "efficiency": {
+            # weak scaling: same per-process work
+            "matcher_data_weak": r1["matcher_data_s"] / rn["matcher_data_s"],
+            "ba_weak": r1["ba_s"] / rn["ba_s"],
+            # strong scaling: same global work split n ways
+            "matcher_tile_strong":
+                r1["matcher_tile_s"] / (n * rn["matcher_tile_s"]),
+        },
+        "correctness": {
+            "tile_agreement_vs_single_device": rn["tile_agreement"],
+            "evaldisp_psum_abs_diff": rn["evaldisp_psum_abs_diff"],
+            "ba_cost_ratio": rn["ba_cost_ratio"],
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["efficiency"]))
+    print(json.dumps(report["correctness"]))
+
+
+if __name__ == "__main__":
+    main()
