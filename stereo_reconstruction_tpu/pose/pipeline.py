@@ -129,8 +129,11 @@ def estimate_pose_from_matches(
         enough_points=num_survivors >= m,
         # failure detection (SURVEY §5): a pose whose reprojection errors
         # are non-finite (degenerate triangulation / diverged BA) is not a
-        # valid estimate even when RANSAC found a cheirality-valid model
-        valid=rr.valid & jnp.isfinite(err_8pt) & jnp.isfinite(err_ba),
+        # valid estimate even when RANSAC found a cheirality-valid model;
+        # fewer than 8 matches is the reference's throw condition
+        # (eight_point.cpp:182-184) — here a traced flag, not an abort
+        valid=rr.valid & jnp.isfinite(err_8pt) & jnp.isfinite(err_ba)
+        & (jnp.asarray(n_valid) >= 8),
     )
 
 
