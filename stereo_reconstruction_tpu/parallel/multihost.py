@@ -80,7 +80,7 @@ def gather(arr: jax.Array) -> np.ndarray:
     """Fetch a (possibly non-addressable) global array to every host."""
     from jax.experimental import multihost_utils
 
-    if all(s.sharding.is_fully_replicated for s in [arr]):
+    if arr.sharding.is_fully_replicated:
         try:
             return np.asarray(arr)
         except RuntimeError:

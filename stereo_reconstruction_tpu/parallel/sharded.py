@@ -48,11 +48,14 @@ def _halo_exchange(block: jnp.ndarray, top_halo: int, bottom_halo: int,
     n = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
 
-    # send my top rows to the previous device (they become its bottom halo)
-    top = block[:bottom_halo]
-    bottom = block[-top_halo:]
-    from_next = lax.ppermute(top, axis_name, [(i, (i - 1) % n) for i in range(n)])
-    from_prev = lax.ppermute(bottom, axis_name, [(i, (i + 1) % n) for i in range(n)])
+    # my FIRST rows become the previous device's bottom halo; my LAST rows
+    # become the next device's top halo
+    send_up = block[:bottom_halo]
+    send_down = block[-top_halo:]
+    from_next = lax.ppermute(
+        send_up, axis_name, [(i, (i - 1) % n) for i in range(n)])
+    from_prev = lax.ppermute(
+        send_down, axis_name, [(i, (i + 1) % n) for i in range(n)])
 
     # zero the wrapped ends (first tile has no rows above, last none below)
     from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)

@@ -81,6 +81,17 @@ def estimate_pose_from_matches(
     errors = geo.pixel_error(proj_right, matches_right)
 
     in_range = jnp.arange(n) < n_valid
+    # reference dedup: uniqueColumnsInMatrix (utils.cpp:50-95) runs before
+    # the eight-point <8 throw (eight_point.cpp:176-184), so the throw
+    # condition counts UNIQUE match columns — 8 valid-but-duplicated
+    # matches still throw there. Count first-occurrence valid columns.
+    col = jnp.concatenate([matches_left, matches_right], axis=0)   # (6, N)
+    eq = jnp.all(col[:, :, None] == col[:, None, :], axis=0)       # (N, N)
+    ii = jnp.arange(n)
+    dup_of_earlier = jnp.any(
+        eq & (ii[None, :] < ii[:, None]) & in_range[None, :], axis=1
+    )
+    n_unique = jnp.sum(in_range & ~dup_of_earlier)
     mean_err = jnp.sum(jnp.where(in_range, errors, 0.0)) / jnp.maximum(n_valid, 1)
     keep = in_range & (errors <= 2.0 * mean_err) & (depths >= 0)
     num_survivors = jnp.sum(keep)
@@ -130,10 +141,11 @@ def estimate_pose_from_matches(
         # failure detection (SURVEY §5): a pose whose reprojection errors
         # are non-finite (degenerate triangulation / diverged BA) is not a
         # valid estimate even when RANSAC found a cheirality-valid model;
-        # fewer than 8 matches is the reference's throw condition
-        # (eight_point.cpp:182-184) — here a traced flag, not an abort
+        # fewer than 8 UNIQUE matches is the reference's throw condition
+        # (uniqueColumnsInMatrix then eight_point.cpp:176-184) — here a
+        # traced flag, not an abort
         valid=rr.valid & jnp.isfinite(err_8pt) & jnp.isfinite(err_ba)
-        & (jnp.asarray(n_valid) >= 8),
+        & (n_unique >= 8),
     )
 
 

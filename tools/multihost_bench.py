@@ -18,8 +18,8 @@ entry points):
      eff = T1 / (n * Tn). The warm-up rows each tile re-runs for the
      smoothing recurrence are real extra work (~12% at these shapes), so
      the structural ceiling is ~0.89, not 1.0.
-  3. distributed Schur BA, weak scaling — 8192 points per process,
-     psum'd 6x6 camera system. eff = T1 / Tn.
+  3. distributed Schur BA, weak scaling — BA_PTS_PER_PROC points per
+     process, psum'd 6x6 camera system. eff = T1 / Tn.
 
 Correctness across processes is asserted in-run: the tile-sharded
 disparity is gathered and compared against the single-device matcher on
@@ -37,10 +37,12 @@ import os
 import shutil
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PORT_BASE = 12680
+BA_PTS_PER_PROC = 32768
 
 # -- child ------------------------------------------------------------------
 
@@ -148,8 +150,8 @@ def child_main(n: int, proc: int, port: int) -> None:
         jnp.asarray(pair_l[0]), jnp.asarray(pair_r[0]), cfg))
     report["tile_agreement"] = float(np.mean(d_t == d_ref))
 
-    # ---- 3. distributed Schur BA (weak: 32768 points/process) ----
-    pts_per = 32768
+    # ---- 3. distributed Schur BA (weak scaling) ----
+    pts_per = BA_PTS_PER_PROC
     N = pts_per * n
     K = np.array([[300.0, 0, 80], [0, 300.0, 64], [0, 0, 1]])
     aa = np.array([0.02, -0.03, 0.01])
@@ -209,9 +211,21 @@ def run_group(n: int, port: int) -> dict:
         procs.append(subprocess.Popen(
             cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=REPO, env=env))
-    out0, _ = procs[0].communicate(timeout=1200)
-    for p in procs[1:]:
-        p.communicate(timeout=1200)
+    # drain ALL children concurrently: a non-rank-0 child writing more
+    # than the OS pipe buffer would otherwise block mid-collective and
+    # drive the whole group into the timeout
+    outs = [None] * n
+
+    def drain(i, p):
+        outs[i], _ = p.communicate(timeout=1200)
+
+    ts = [threading.Thread(target=drain, args=(i, p), daemon=True)
+          for i, p in enumerate(procs)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=1300)
+    out0 = outs[0] or ""
     if any(p.returncode != 0 for p in procs):
         sys.stderr.write(out0[-4000:])
         raise RuntimeError(f"group n={n} failed")
