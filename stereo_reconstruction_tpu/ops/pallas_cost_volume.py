@@ -54,6 +54,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
+    geom_ref,    # (1, 2) int32 SMEM: [row0, H_total] — global id of local
+                 # row 0 and the GLOBAL image height. For a halo-extended
+                 # row tile of a larger image (parallel/sharded.py) these
+                 # make window clipping/area use global coordinates, so
+                 # every in-bounds row is bit-identical to the full-image
+                 # kernel. Single-device: row0 = 0, H_total = H.
     lband_ref,   # (1, 3*24, WLt) left band, rows 8i-hbs .. 8i+8+hbs-1, ch-major
     rband_ref,   # (1, 3*24, Wt)  right band, same rows
     *out_refs,   # mode "volume": (cost_ref,) — (Dc, 8, Wtile) planes;
@@ -64,7 +70,6 @@ def _kernel(
     D: int,
     hbs: int,
     min_d: int,
-    H: int,
     W: int,
     WL: int,
     Wbw: int,    # band compute width for one W tile (Wtile + halo lanes)
@@ -77,26 +82,32 @@ def _kernel(
     band_rows = 8 + hw
     f32 = jnp.float32
     w0 = wt * Wout                        # first global output col of tile
+    row0 = geom_ref[0, 0]
+    h_tot = geom_ref[0, 1]
 
     rb = rband_ref[0, :, pl.ds(pl.multiple_of(w0, 128), Wbw)]  # (3*br, Wbw)
 
-    # validity of each band element: global row in [0, H-1), col in [0, W-1)
-    # (the reference's clipped window support; lane p <-> global col
-    # w0 + p - hbs)
-    row_ids = 8 * i - hbs + lax.broadcasted_iota(jnp.int32, (band_rows, 1), 0)
-    rows_ok = (row_ids >= 0) & (row_ids < H - 1)             # (br, 1)
+    # validity of each band element: global row in [0, Htot-1), col in
+    # [0, W-1) (the reference's clipped window support; lane p <-> global
+    # col w0 + p - hbs)
+    row_ids = (
+        row0 + 8 * i - hbs
+        + lax.broadcasted_iota(jnp.int32, (band_rows, 1), 0)
+    )
+    rows_ok = (row_ids >= 0) & (row_ids < h_tot - 1)         # (br, 1)
     col_ids = w0 + lax.broadcasted_iota(jnp.int32, (1, Wbw), 1) - hbs
     cols_ok = (col_ids >= 0) & (col_ids < W - 1)             # (1, Wbw)
     elem_ok = rows_ok & cols_ok                              # (br, Wbw)
 
     # per-output-pixel clipped geometry (global coords)
     xg = w0 + lax.broadcasted_iota(jnp.int32, (8, Wout), 1)  # global x
-    yg = 8 * i + lax.broadcasted_iota(jnp.int32, (8, Wout), 0)
+    yg = row0 + 8 * i + lax.broadcasted_iota(jnp.int32, (8, Wout), 0)
     lft = jnp.minimum(xg, hbs)
     rgt = jnp.minimum(W - 1 - xg, hbs)
-    up = jnp.minimum(yg, hbs)
-    down = jnp.minimum(H - 1 - yg, hbs)
+    up = jnp.clip(jnp.minimum(yg, hbs), 0)
+    down = jnp.clip(jnp.minimum(h_tot - 1 - yg, hbs), 0)
     area = ((lft + rgt) * (up + down)).astype(f32)
+    area = jnp.where((yg >= 0) & (yg < h_tot), area, 0.0)
     pos_area = area > 0
     inv_area = jnp.where(pos_area, 1.0 / jnp.maximum(area, 1.0), 1.0)
 
@@ -237,15 +248,26 @@ def pallas_cost_volume_right_ssd(
     max_disparity: int = 200,
     d_chunk: int = 128,
     interpret: bool = False,
+    row_offset=0,         # global index of local row 0 (may be traced)
+    total_height=None,    # global image height (None -> H)
 ) -> jnp.ndarray:
     """Right-variant SSD cost volume, (D, H, W) f32, +inf = invalid.
 
     Numerically matches ``cost_volume.cost_volume_right_ssd`` (same
     integer-valued window sums; summation order differs only in f32
-    rounding beyond ~2^24).
+    rounding beyond ~2^24). ``row_offset``/``total_height`` switch the
+    window geometry to GLOBAL row coordinates for halo-extended row tiles
+    of a larger image (the sharded matcher, parallel/sharded.py).
+
+    Global-mode contract: when ``0 < row_offset`` (resp. the tile does not
+    reach the image bottom), the FIRST (resp. LAST) ``2*hbs`` output rows
+    read local zero-padding as if it were image content and must be
+    discarded by the caller — exactly the window-support halo rows the
+    sharded matcher strips anyway.
     """
     out = _run(left, right, block_size, min_disparity, max_disparity,
-               d_chunk, interpret, mode="volume")
+               d_chunk, interpret, mode="volume",
+               row_offset=row_offset, total_height=total_height)
     H, W = right.shape[:2]
     return out[: max_disparity - min_disparity, :H, :W]
 
@@ -263,6 +285,8 @@ def pallas_matcher_inputs(
     max_disparity: int = 200,
     d_chunk: int = 128,
     interpret: bool = False,
+    row_offset=0,         # global index of local row 0 (may be traced)
+    total_height=None,    # global image height (None -> H)
 ):
     """Fused cost-volume + smoothing-input reduction: the (D, H, W)
     volume never leaves VMEM.
@@ -281,16 +305,19 @@ def pallas_matcher_inputs(
     m0, a0, cz, du, dl = _run(
         left, right, block_size, min_disparity, max_disparity,
         d_chunk, interpret, mode="inputs",
+        row_offset=row_offset, total_height=total_height,
     )
     H, W = right.shape[:2]
     return (m0[:H, :W], a0[:H, :W], cz[:H, :W], du[:H, :W], dl[:H, :W])
 
 
 def _run(left, right, block_size, min_disparity, max_disparity,
-         d_chunk, interpret, mode):
+         d_chunk, interpret, mode, row_offset=0, total_height=None):
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     H, W = right.shape[:2]
+    h_tot = H if total_height is None else total_height
+    geom = jnp.asarray([[row_offset, h_tot]], jnp.int32)
     WL = left.shape[1]
     hbs = (block_size - 1) // 2
     hw = 2 * hbs
@@ -329,7 +356,7 @@ def _run(left, right, block_size, min_disparity, max_disparity,
 
     kernel = functools.partial(
         _kernel, mode=mode, Dc=Dc, D=D, hbs=hbs, min_d=min_disparity,
-        H=H, W=W, WL=WL, Wbw=Wbw, Wout=Wout,
+        W=W, WL=WL, Wbw=Wbw, Wout=Wout,
     )
 
     if mode == "volume":
@@ -346,10 +373,12 @@ def _run(left, right, block_size, min_disparity, max_disparity,
         kernel,
         grid=(H8, Wn, Dp // Dc),
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i, wt, dc: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 3 * (8 + hw), WLt), lambda i, wt, dc: (i, 0, 0)),
             pl.BlockSpec((1, 3 * (8 + hw), Wt), lambda i, wt, dc: (i, 0, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(lband, rband)
+    )(geom, lband, rband)

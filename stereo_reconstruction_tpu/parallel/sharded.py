@@ -37,6 +37,7 @@ from jax import shard_map
 
 from stereo_reconstruction_tpu.config import MatcherConfig
 from stereo_reconstruction_tpu.ops import cost_volume as cv
+from stereo_reconstruction_tpu.ops import pallas_cost_volume as pcv
 from stereo_reconstruction_tpu.ops import smoothing
 
 
@@ -74,6 +75,22 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
     rows_per_tile = h // n_tiles
     top_halo = warmup + hw
     bottom_halo = hw
+    D = config.max_disparity - config.min_disparity
+
+    # backend resolution mirrors ops/block_search.py: the fused Pallas
+    # kernel (VMEM-resident cost volume, ops/pallas_cost_volume.py) is THE
+    # production path on TPU; it supports global row coordinates, so the
+    # tile axis shards the fast kernel, not the slow XLA fallback
+    # (VERDICT r2 item 1). Interpret mode keeps CPU-mesh tests exact.
+    use_pallas = (
+        config.backend in ("pallas", "auto")
+        and not config.var_block
+        and config.cost == "ssd"
+        and config.min_disparity >= 0
+    )
+    if config.backend == "auto":
+        use_pallas = use_pallas and jax.default_backend() == "tpu"
+    interpret = jax.default_backend() != "tpu"
 
     def local(left_blk, right_blk):
         # left_blk/right_blk: (Bloc, Hloc, W, 3)
@@ -82,6 +99,37 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
             rb_h = _halo_exchange(rb, top_halo, bottom_halo, "tile")
             idx = lax.axis_index("tile")
             row0 = idx * rows_per_tile - top_halo   # global id of local row 0
+
+            black = cv.black_pixel_mask(rb_h[hw:-hw])
+            gids = row0 + hw + jnp.arange(warmup + rows_per_tile)
+            # rows with no (available) up-neighbor: the true image top and
+            # each tile's first warm-up row (the chain truncation point)
+            first = (gids <= 0) | (jnp.arange(warmup + rows_per_tile) == 0)
+
+            if use_pallas:
+                planes = pcv.pallas_matcher_inputs(
+                    lb_h.astype(jnp.float32),
+                    rb_h.astype(jnp.float32),
+                    config.block_size,
+                    config.min_disparity,
+                    config.max_disparity,
+                    interpret=interpret,
+                    row_offset=row0,
+                    total_height=h,
+                )
+                # drop the window-support-only rows (the kernel's
+                # global-mode contract), keep the warm-up rows
+                m0, a0, c_zero, diag_up, diag_lf = (
+                    p[hw:-hw] for p in planes
+                )
+                disp = smoothing.smoothed_argmin_from_inputs(
+                    m0, a0, c_zero, diag_up, diag_lf, black,
+                    smooth_factor=config.smooth_factor,
+                    d_first=config.min_disparity,
+                    n_planes=D,
+                    first_flags=first,
+                )
+                return disp[warmup:]
 
             cost = cv.cost_volume_right_ssd(
                 lb_h.astype(jnp.float32),
@@ -96,11 +144,6 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
             # window-support-only rows
             cost = cost[:, hw:-hw, :]                  # (D, warmup+Hloc, W)
 
-            black = cv.black_pixel_mask(rb_h[hw:-hw])
-            gids = row0 + hw + jnp.arange(warmup + rows_per_tile)
-            # rows with no (available) up-neighbor: the true image top and
-            # each tile's first warm-up row (the chain truncation point)
-            first = (gids <= 0) | (jnp.arange(warmup + rows_per_tile) == 0)
             disp = smoothing.smoothed_argmin_reference(
                 cost, black,
                 smooth_factor=config.smooth_factor,
