@@ -107,7 +107,7 @@ def block_search_right(
             black,
             smooth_factor=config.smooth_factor,
             mode="reference",
-            iters=config.row_smooth_iters,
+            iters=None,   # in-row sweeps to fixpoint: exact (smoothing.py)
             variant="right",
         )
     # rows beyond min(h1, h2) are never visited by the reference
@@ -137,7 +137,7 @@ def block_search_left(
         black,
         smooth_factor=config.smooth_factor,
         mode="intended",   # the Left variant's discount has the correct sign
-        iters=config.row_smooth_iters,
+        iters=None,        # in-row sweeps to fixpoint: exact (smoothing.py)
         variant="left",
     )
     # border pixels (outside [hbs, H-hbs) x [hbs, W-hbs)) keep 0 in the

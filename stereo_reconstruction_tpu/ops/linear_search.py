@@ -62,7 +62,7 @@ def linear_search(
     right: jnp.ndarray,
     smooth_factor: float = 0.9,
     search_range: int = 200,
-    iters: int = 2,
+    iters=None,   # None = in-row sweeps to fixpoint (exact, smoothing.py)
 ) -> jnp.ndarray:
     """(H, W) disparity of the right image (LinearSearch semantics)."""
     left = _with_channels(left)

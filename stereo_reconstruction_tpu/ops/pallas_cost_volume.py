@@ -175,9 +175,15 @@ def _kernel(
                 bit //= 2
             vs.append(acc)                                   # (8, Wbw)
         v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
+        # HIGHEST precision: the window sums are integer-valued (< 2^24,
+        # exact in f32); default bf16 MXU passes would perturb costs by
+        # ~0.1 and flip ~0.5% of argmin decisions vs the XLA path. The
+        # kernel is VPU-bound (squared diffs), so the extra passes on
+        # this one small matmul are not on the critical path.
         h = jax.lax.dot_general(
             v, band_mat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )                                                    # (128, Wout)
 
         cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g

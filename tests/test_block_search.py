@@ -213,3 +213,56 @@ def test_fast_reference_smoothing_min_disparity_offset(rng):
         smooth_factor=0.9, d_first=3,
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def _sequential_smoothing_any_mode(cost, black, sf=0.9, mode="intended",
+                                   variant="left", dvals=None):
+    """Literal row-major recurrence for ANY smoothing mode/variant (the
+    Left-variant +d semantics, BlockSearch.cpp:68-79, or the Right sign
+    quirk) — the exactness target for smoothed_argmin(iters=None)."""
+    D, h, w = cost.shape
+    sf = np.float32(sf)
+    sign = np.float32(-1.0 if mode == "reference" else 1.0)
+    dvals = (np.arange(D, dtype=np.float32) if dvals is None
+             else np.asarray(dvals, np.float32))
+    sent = (-np.arange(w, dtype=np.float32) if variant == "right"
+            else np.arange(w, dtype=np.float32))
+    disp = np.zeros((h, w), np.float32)
+    for y in range(h):
+        for x in range(w):
+            if black[y, x]:
+                disp[y, x] = 0.0
+                continue
+            c = cost[:, y, x].astype(np.float32).copy()
+            if y >= 1:
+                c[dvals == sign * disp[y - 1, x]] *= sf
+            if x >= 1:
+                c[dvals == sign * disp[y, x - 1]] *= sf
+            i = int(np.argmin(c))
+            disp[y, x] = dvals[i] if np.isfinite(c[i]) else sent[x]
+    return disp
+
+
+@pytest.mark.parametrize("mode,variant", [("intended", "left"),
+                                          ("intended", "right"),
+                                          ("reference", "right")])
+def test_fixpoint_smoothing_exact_vs_sequential(rng, mode, variant):
+    """smoothed_argmin(iters=None) runs the in-row Jacobi sweeps to their
+    fixpoint — exact for EVERY mode (VERDICT r2 item 6: in intended mode
+    the left neighbor's chosen d can be any plane, so no small automaton
+    exists; the fixpoint is the sequential solution regardless)."""
+    for trial in range(3):
+        D, h, w = 8, 12, 18
+        # small integer costs -> many exact ties -> long smoothing chains
+        cost = (rng.integers(0, 4, (D, h, w)).astype(np.float32) + 1.0)
+        cost[rng.uniform(size=cost.shape) < 0.15] = np.inf
+        cost[:, 2, 4:7] = np.inf
+        black = rng.uniform(size=(h, w)) < 0.1
+        dvals = np.arange(1, D + 1, dtype=np.float32)
+        want = _sequential_smoothing_any_mode(
+            cost, black, sf=0.9, mode=mode, variant=variant, dvals=dvals)
+        got = np.asarray(smoothing.smoothed_argmin(
+            jnp.asarray(cost), jnp.asarray(dvals), jnp.asarray(black),
+            smooth_factor=0.9, mode=mode, iters=None, variant=variant,
+        ))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

@@ -1,0 +1,161 @@
+#!/usr/bin/env python3
+"""Per-substage device timing of the sparse pose stage (VERDICT r2 weak 4).
+
+The pose stage (pipeline._pose_device: SIFT x2 -> match -> RANSAC ->
+filter -> BA) ran at 316 ms/pair on TPU in round 2 with nothing showing
+where the time goes. This tool times each substage with the same
+relay-dedup-proof method bench.py uses: K steps inside one jit with
+perturbed inputs, marginal time = (T_K - T_1) / (K - 1).
+
+Writes baselines/pose_profile.json (git hash + per-substage ms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--loop", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "baselines", "pose_profile.json"))
+    args = ap.parse_args()
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from stereo_reconstruction_tpu.config import PipelineConfig
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+    from stereo_reconstruction_tpu.ops.features import detect_and_describe
+    from stereo_reconstruction_tpu.ops.matching import (
+        match_descriptors,
+        matches_to_homogeneous,
+    )
+    from stereo_reconstruction_tpu.pose import ba as ba_mod
+    from stereo_reconstruction_tpu.pose.pipeline import estimate_pose_from_matches
+    from stereo_reconstruction_tpu.pose.ransac import ransac_eight_point
+
+    cfg = PipelineConfig()
+    pair = downsample_pair(MiddEval3("/root/reference/data/MiddEval3").load_training(13))
+    img_l = jnp.asarray(pair.image_left, jnp.float32)
+    img_r = jnp.asarray(pair.image_right, jnp.float32)
+    K_l = jnp.asarray(pair.intrinsics_left)
+    K_r = jnp.asarray(pair.intrinsics_right)
+
+    def marginal_ms(make_body, tag):
+        """make_body(i) -> scalar float32 that depends on the substage
+        output; run K in-jit steps, report marginal per-step ms."""
+        def looped(k):
+            def body(i, acc):
+                return acc + make_body(i)
+            return jax.jit(lambda: lax.fori_loop(0, k, body, jnp.float32(0.0)))
+
+        f1, fK = looped(1), looped(args.loop)
+        float(f1()); float(fK())        # compile + warm
+        t1s, tKs = [], []
+        for _ in range(args.reps):
+            t0 = time.perf_counter(); float(f1()); t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); float(fK()); tKs.append(time.perf_counter() - t0)
+        ms = (min(tKs) - min(t1s)) / (args.loop - 1) * 1000
+        print(f"{tag:24s} {ms:8.2f} ms")
+        return round(ms, 2)
+
+    report = {"image": f"{img_r.shape[0]}x{img_r.shape[1]}",
+              "platform": jax.devices()[0].platform, "stages_ms": {}}
+    S = report["stages_ms"]
+
+    # 1. SIFT detect+describe (one image)
+    def sift_body(i):
+        kp = detect_and_describe(img_l + 0.25 * (1.0 + i.astype(jnp.float32)),
+                                 cfg.frontend)
+        return kp.descriptors[0, 0] + kp.xy[-1, 0]
+    S["sift_one_image"] = marginal_ms(sift_body, "sift (one image)")
+
+    # fixed keypoints for downstream stages
+    kp_l = detect_and_describe(img_l, cfg.frontend)
+    kp_r = detect_and_describe(img_r, cfg.frontend)
+
+    # 2. descriptor matching + compaction
+    def match_body(i):
+        eps = 1e-6 * (1.0 + i.astype(jnp.float32))
+        kpl = kp_l._replace(descriptors=kp_l.descriptors + eps)
+        matches = match_descriptors(kpl, kp_r, cfg.frontend)
+        ml, mr, valid = matches_to_homogeneous(matches)
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        return ml[0, order[0]] + mr[0, order[-1]]
+    S["match_compact"] = marginal_ms(match_body, "match + compact")
+
+    matches = match_descriptors(kp_l, kp_r, cfg.frontend)
+    ml, mr, valid = matches_to_homogeneous(matches)
+    order = jnp.argsort(jnp.logical_not(valid), stable=True)
+    ml, mr = ml[:, order], mr[:, order]
+    n_valid = jnp.sum(valid)
+
+    # 3. RANSAC 8pt
+    def ransac_body(i):
+        key = jax.random.fold_in(jax.random.key(0), i)
+        rr = ransac_eight_point(key, ml, mr, K_l, K_r, cfg.ransac, n_valid)
+        return rr.pose[0, 0] + rr.mean_error
+    S["ransac"] = marginal_ms(ransac_body, "ransac 8pt")
+
+    # 4. full pose-from-matches (ransac + filter + BA + errors)
+    def full_body(i):
+        key = jax.random.fold_in(jax.random.key(0), i)
+        pe = estimate_pose_from_matches(key, ml, mr, K_l, K_r, cfg, n_valid)
+        return pe.pose[0, 0] + pe.reproj_error_ba
+    S["pose_from_matches"] = marginal_ms(full_body, "pose-from-matches")
+    S["filter_ba_errors"] = round(S["pose_from_matches"] - S["ransac"], 2)
+
+    # 5. BA alone on the same support size
+    m = cfg.ba.num_points
+    rngn = np.random.default_rng(0)
+    depths = jnp.asarray(rngn.uniform(4, 9, m), jnp.float32)
+    xl = jnp.concatenate([jnp.asarray(rngn.uniform(-0.25, 0.25, (2, m)), jnp.float32),
+                          jnp.ones((1, m))])
+    pts = xl * depths[None, :]
+    from stereo_reconstruction_tpu.ops import geometry as geo
+    R0 = geo.angle_axis_to_rotation(jnp.array([0.02, -0.03, 0.01]))
+    T0 = jnp.array([-0.5, 0.02, 0.1])
+    kpl_s = geo.project(K_l, pts)
+    kpr_s = geo.project(K_r, geo.transform(R0, T0, pts))
+
+    def ba_body(i):
+        eps = 1e-4 * (1.0 + i.astype(jnp.float32))
+        res = ba_mod.bundle_adjust(kpl_s + eps, kpr_s, K_l, K_r, R0, T0,
+                                   pts, config=cfg.ba)
+        return res.pose[0, 0] + res.final_cost
+    S["ba_alone"] = marginal_ms(ba_body, "BA alone")
+
+    S["pose_total_est"] = round(2 * S["sift_one_image"] + S["match_compact"]
+                                + S["pose_from_matches"], 2)
+    try:
+        report["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        report["git"] = "unknown"
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
