@@ -142,6 +142,12 @@ class PerceptualConfig:
     smoothing_bias: float = 0.85
     smoothing_sigma: float = 25.0
     weights_path: str = ""            # optional LPIPS/VGG weight file (.npz)
+    # "windowed" = per-window VGG embeddings, the notebook's exact
+    # semantics batched on the MXU (perceptual/cost.py
+    # windowed_lpips_search); "full_image" = shared full-image feature
+    # approximation (~10x fewer FLOPs, structural receptive-field gap)
+    mode: str = "windowed"
+    chunk: int = 20                   # notebook cell 10 size_of_chunk
 
 
 @dataclasses.dataclass(frozen=True)

@@ -8,4 +8,5 @@ from stereo_reconstruction_tpu.perceptual.vgg import (  # noqa: F401
 from stereo_reconstruction_tpu.perceptual.cost import (  # noqa: F401
     lpips_cost_volume,
     perceptual_window_search,
+    windowed_lpips_search,
 )

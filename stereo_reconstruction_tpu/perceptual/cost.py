@@ -34,6 +34,7 @@ from stereo_reconstruction_tpu.perceptual.vgg import (
     STAGE_STRIDES,
     normalize_features,
     vgg16_features,
+    vgg16_features_batched,
 )
 
 
@@ -155,6 +156,149 @@ def perceptual_window_search(
     right: jnp.ndarray,
     config: PerceptualConfig = PerceptualConfig(),
 ) -> jnp.ndarray:
-    """Full perceptual disparity search (BASELINE config 3)."""
-    cost = lpips_cost_volume(params, left, right, config)
-    return perceptual_smooth_argmin(cost, config)
+    """Full perceptual disparity search (BASELINE config 3).
+
+    ``config.mode`` selects the backend:
+      * ``"windowed"`` (default) — per-window VGG embeddings, exactly the
+        notebook's semantics, batched on the MXU (below);
+      * ``"full_image"`` — the shared full-image feature approximation
+        (lpips_cost_volume), ~10x fewer FLOPs but a structural
+        approximation of the per-window receptive field.
+    """
+    if config.mode == "full_image":
+        cost = lpips_cost_volume(params, left, right, config)
+        return perceptual_smooth_argmin(cost, config)
+    return windowed_lpips_search(params, left, right, config)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def windowed_lpips_search(
+    params: Dict,
+    left: jnp.ndarray,      # (H, W, 3) RGB [0, 255]
+    right: jnp.ndarray,     # (H, W, 3)
+    config: PerceptualConfig = PerceptualConfig(),
+) -> jnp.ndarray:
+    """The notebook's per-window LPIPS search as ONE device program.
+
+    Reproduces ``Perceptual_window_search.ipynb`` cells 6-10 semantics
+    bit-for-bit up to f32 vs the notebook's f64 score arithmetic
+    (tests/test_perceptual.py pins agreement vs the literal oracle):
+
+      * every pixel owns a zero-padded ``window x window`` crop (cell 6
+        unfold, padding 8) forwarded through the VGG tower INDEPENDENTLY
+        — boundary content inside each crop matches the notebook, unlike
+        full-image features;
+      * LPIPS distance per candidate (cell 8 ``compute_distance``):
+        channel-unit-normalize, squared diff, ``lins`` weighting, spatial
+        mean per stage, summed over stages — expanded here into
+        norm/cross terms so the candidate band is D shifted row dots, not
+        a W x W matrix;
+      * the chunked multiplicative smoothing of cell 10 with its quirks:
+        the previous-pixel term resets every ``chunk`` pixels and its
+        argmin is clamped to ``min(prev, size)`` where size is the
+        CURRENT pixel's candidate count; previous-row weighting is
+        row-global. The in-chunk recurrence runs Jacobi sweeps to the
+        fixpoint (exact; chains cannot cross chunk resets, so <= chunk
+        sweeps).
+
+    TPU mapping: one lax.scan over rows; per row the W crops of each
+    image run as one batched conv stack (vgg16_features_batched — the
+    per-window forwards the notebook does in chunks of 10 become MXU
+    batches), and the D candidate distances are banded row dots.
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    h, w = right.shape[:2]
+    D = min(config.max_disparity, w)
+    win, pad = config.window_size, config.padding
+    chunk = config.chunk
+    bias, sigma = config.smoothing_bias, config.smoothing_sigma
+
+    padded_l = jnp.pad(left, ((pad, pad), (pad, pad), (0, 0)))
+    padded_r = jnp.pad(right, ((pad, pad), (pad, pad), (0, 0)))
+
+    xs = jnp.arange(w)
+    sizes = jnp.minimum(D, w - xs)                     # candidate counts
+    dvals = jnp.arange(D, dtype=jnp.float32)
+    valid = dvals[:, None] < sizes[None, :].astype(jnp.float32)   # (D, W)
+    pos_in_chunk = xs % chunk
+    lins = params.get("lins") or [
+        jnp.full((c,), 1.0 / c, jnp.float32)
+        for c in (64, 128, 256, 512, 512)
+    ]
+
+    def row_windows(padded, y):
+        # strip rows y..y+win-1 of the padded image; window x = columns
+        # x..x+win-1 (original top-left (y-pad, x-pad), like the oracle)
+        strip = lax.dynamic_slice(padded, (y, 0, 0), (win, w + 2 * pad, 3))
+        cols = [lax.dynamic_slice_in_dim(strip, j, w, axis=1)
+                for j in range(win)]                   # win x (win, W, 3)
+        return jnp.transpose(jnp.stack(cols, axis=0), (2, 1, 0, 3))
+
+    def row_cost(y):
+        lw = row_windows(padded_l, y)                  # (W, win, win, 3)
+        rw = row_windows(padded_r, y)
+        ls = vgg16_features_batched(params, lw)        # [(W, C, hs, ws)]
+        rs = vgg16_features_batched(params, rw)
+        total = jnp.zeros((D, w), jnp.float32)
+        for fl, fr, lin in zip(ls, rs, lins):
+            nl = jax.vmap(normalize_features)(fl)
+            nr = jax.vmap(normalize_features)(fr)
+            sp = nl.shape[2] * nl.shape[3]
+            lin = jnp.asarray(lin)[None, :, None, None]
+            wl = nl * lin                              # lin folded into left
+            t_l = jnp.sum(wl * nl, axis=(1, 2, 3)) / sp       # (W,)
+            t_r = jnp.sum(nr * nr * lin, axis=(1, 2, 3)) / sp
+            nlf = wl.reshape(w, -1)
+            nrf = nr.reshape(w, -1)
+            nlf_pad = jnp.pad(nlf, ((0, D), (0, 0)))
+            t_l_pad = jnp.pad(t_l, (0, D))
+
+            def band(d):
+                sh = lax.dynamic_slice_in_dim(nlf_pad, d, w, axis=0)
+                cross = jnp.sum(nrf * sh, axis=1) / sp
+                tl = lax.dynamic_slice_in_dim(t_l_pad, d, w, axis=0)
+                return t_r + tl - 2.0 * cross
+
+            total = total + jax.vmap(band)(jnp.arange(D))     # (D, W)
+        return jnp.where(valid, total, jnp.inf)
+
+    def row_step(prev_disp, inputs):
+        y, first = inputs
+        cost_row = row_cost(y)
+        up = (1.0 - jnp.exp(-jnp.abs(dvals[:, None] - prev_disp[None, :])
+                            / sigma)) + bias
+        cu = cost_row * jnp.where(first, 1.0, up)
+
+        def resolve(left_arg):                         # (W,) float; nan=none
+            mean = jnp.minimum(left_arg, sizes.astype(jnp.float32))
+            wl = (1.0 - jnp.exp(-jnp.abs(dvals[:, None] - mean[None, :])
+                                / sigma)) + bias
+            use = (~jnp.isnan(left_arg)) & (pos_in_chunk > 0)
+            c = cu * jnp.where(use[None, :], wl, 1.0)
+            return jnp.argmin(c, axis=0).astype(jnp.float32)
+
+        def sweep(d):
+            la = jnp.concatenate([jnp.full((1,), jnp.nan), d[:-1]])
+            return resolve(la)
+
+        disp = resolve(jnp.full((w,), jnp.nan))
+
+        def cond(s):
+            d, p, it = s
+            return jnp.any(d != p) & (it < chunk)
+
+        def body(s):
+            d, _, it = s
+            return sweep(d), d, it + 1
+
+        disp, _, _ = lax.while_loop(
+            cond, body, (sweep(disp), disp, jnp.int32(1)))
+        return disp, disp
+
+    first_flags = jnp.zeros((h,), bool).at[0].set(True)
+    _, disp = lax.scan(
+        row_step, jnp.zeros((w,), jnp.float32),
+        (jnp.arange(h), first_flags),
+    )
+    return disp

@@ -142,12 +142,29 @@ def vgg16_features(params: Dict, image: jnp.ndarray) -> List[jnp.ndarray]:
     x = image.astype(jnp.float32) / 127.5 - 1.0          # [-1, 1]
     x = (x - _LPIPS_SHIFT) / _LPIPS_SCALE                # LPIPS scaling layer
     x = jnp.transpose(x, (2, 0, 1))[None]                # (1, 3, H, W)
+    return [s[0] for s in vgg16_features_nchw(params, x)]
 
+
+def vgg16_features_batched(params: Dict, images: jnp.ndarray) -> List[jnp.ndarray]:
+    """Stages for a BATCH of RGB [0, 255] images/windows (N, h, w, 3).
+
+    One batched conv stack instead of N forwards — how the notebook's
+    per-window tower (cells 6-8) maps onto the MXU. Returns a list of
+    (N, C_s, h_s, w_s) arrays.
+    """
+    x = images.astype(jnp.float32) / 127.5 - 1.0
+    x = (x - _LPIPS_SHIFT) / _LPIPS_SCALE
+    x = jnp.transpose(x, (0, 3, 1, 2))                   # (N, 3, h, w)
+    return vgg16_features_nchw(params, x)
+
+
+def vgg16_features_nchw(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+    """Conv/pool tower on pre-scaled (N, 3, H, W) input."""
     stages = []
     for bi, block in enumerate(params["convs"]):
         for w, b in block:
             x = jax.nn.relu(_conv3x3(x, w, b))
-        stages.append(x[0])
+        stages.append(x)
         if bi < len(params["convs"]) - 1:
             x = lax.reduce_window(
                 x, -jnp.inf, lax.max,

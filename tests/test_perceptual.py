@@ -168,3 +168,49 @@ def test_pipeline_dispatch_perceptual(rng):
     disp = np.asarray(compute_disparity(left, right, config))
     assert disp.shape == (32, 48)
     assert disp.max() < 8
+
+
+def test_windowed_search_matches_notebook_oracle_exactly(params, rng):
+    """windowed_lpips_search IS the notebook's per-window semantics as one
+    device program (VERDICT r2 item 3): on a small pair with identical
+    He-init weights it must track the literal notebook oracle to f32-vs-
+    f64 score noise — gated at 100% 2px / >=98% exact agreement."""
+    from stereo_reconstruction_tpu.perceptual import windowed_lpips_search
+    from stereo_reconstruction_tpu.perceptual.notebook_oracle import (
+        notebook_window_search,
+    )
+
+    h, w, D = 10, 44, 12
+    left = rng.integers(0, 255, (h, w, 3)).astype(np.float32)
+    # right = left shifted 4 px with noise (plausible candidates exist)
+    right = np.roll(left, -4, axis=1)
+    right += rng.normal(0, 4, right.shape).astype(np.float32)
+    right = np.clip(right, 0, 255)
+
+    cfg = PerceptualConfig(window_size=17, padding=8, max_disparity=D,
+                           chunk=20, mode="windowed")
+    got = np.asarray(windowed_lpips_search(
+        params, jnp.asarray(left), jnp.asarray(right), cfg))
+    want = notebook_window_search(
+        params, left, right, window=17, padding=8, max_disparity=D,
+        chunk=20)
+    agree_exact = float((got == want).mean())
+    agree_2px = float((np.abs(got - want) <= 2.0).mean())
+    assert agree_2px == 1.0, f"2px agreement only {agree_2px:.4f}"
+    assert agree_exact >= 0.98, f"exact agreement only {agree_exact:.4f}"
+
+
+def test_perceptual_mode_dispatch(params, rng):
+    """perceptual_window_search routes on config.mode."""
+    from stereo_reconstruction_tpu.perceptual import windowed_lpips_search
+
+    h, w, D = 32, 48, 6
+    left = jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.float32)
+    right = jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.float32)
+    cfg_w = PerceptualConfig(max_disparity=D, mode="windowed")
+    cfg_f = PerceptualConfig(max_disparity=D, mode="full_image")
+    dw = np.asarray(perceptual_window_search(params, left, right, cfg_w))
+    np.testing.assert_array_equal(
+        dw, np.asarray(windowed_lpips_search(params, left, right, cfg_w)))
+    df = np.asarray(perceptual_window_search(params, left, right, cfg_f))
+    assert df.shape == dw.shape
