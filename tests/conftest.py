@@ -53,3 +53,26 @@ def middeval_root():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running (interpret-mode kernels)")
+
+
+def warn_if_stale_baseline(report: dict, name: str) -> None:
+    """Warn when a recorded baselines/*.json was generated at a different
+    git revision than HEAD (VERDICT r2 item 4: recorded artifacts must be
+    traceable to the code; live crop gates catch regressions, this makes
+    drift visible)."""
+    import warnings
+
+    recorded = (report.get("_meta") or {}).get("git") or report.get("git")
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.join(os.path.dirname(__file__), ".."),
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        return
+    if recorded is None:
+        warnings.warn(f"{name}: no generating git hash recorded "
+                      "(regenerate with the current tools)")
+    elif head and recorded != head:
+        warnings.warn(f"{name}: generated at {recorded}, HEAD is {head} "
+                      "(rerun the tool if relevant code changed)")

@@ -22,7 +22,11 @@ def report():
         pytest.skip("config4 report not generated "
                     "(run tools/config4_fullres.py)")
     with open(PATH) as f:
-        return json.load(f)
+        data = json.load(f)
+    from conftest import warn_if_stale_baseline
+
+    warn_if_stale_baseline(data, "config4_fullres.json")
+    return data
 
 
 def test_cpu_virtual_mesh_fullres(report):

@@ -23,7 +23,11 @@ def report():
         pytest.skip("MULTIHOST.json not generated "
                     "(run tools/multihost_bench.py)")
     with open(PATH) as f:
-        return json.load(f)
+        data = json.load(f)
+    from conftest import warn_if_stale_baseline
+
+    warn_if_stale_baseline(data, "MULTIHOST.json")
+    return data
 
 
 def test_weak_scaling_efficiency(report):

@@ -22,7 +22,11 @@ def report():
     if not os.path.exists(PATH):
         pytest.skip("SCALING.json not generated (run tools/scaling_bench.py)")
     with open(PATH) as f:
-        return json.load(f)
+        data = json.load(f)
+    from conftest import warn_if_stale_baseline
+
+    warn_if_stale_baseline(data, "SCALING.json")
+    return data
 
 
 def test_matcher_data_axis_efficiency(report):

@@ -41,6 +41,17 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                    "..", "baselines", "config4_fullres.json")
 
 
+
+def _git_hash():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        return "unknown"
+
 def load_fullres():
     from stereo_reconstruction_tpu.io.image import read_image
 
@@ -59,6 +70,7 @@ def merge_write(update):
             report = json.load(f)
     report.update(update)
     with open(OUT, "w") as f:
+        report["git"] = _git_hash()
         json.dump(report, f, indent=2)
     print(json.dumps(update, indent=2))
 

@@ -51,6 +51,54 @@ def evaldisp_np(disp, gt, mask, badthresh=2.0, maxdisp=1e9):
     }
 
 
+def git_hash():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        return "unknown"
+
+
+def matcher_parity(rect_l, rect_r, max_disparity=100, block_size=17):
+    """Dense-matcher parity on one rectified pair: the framework matcher
+    vs the exact reference-semantics oracle on identical inputs.
+
+    This is BOTH the per-scene record in full_eval.json and the LIVE CI
+    gate (tests/test_full_eval_gate.py runs it on a Teddy crop in
+    seconds) — a matcher regression fails CI without anyone regenerating
+    the recorded artifacts (VERDICT r2 item 4).
+    """
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_tpu import oracle
+    from stereo_reconstruction_tpu.config import MatcherConfig
+    from stereo_reconstruction_tpu.ops.block_search import block_search_right
+
+    t0 = time.time()
+    od = oracle.block_search_right_fast(
+        rect_l, rect_r, block_size=block_size, min_disparity=0,
+        max_disparity=max_disparity, smooth_factor=0.9,
+    )
+    ours = np.asarray(block_search_right(
+        jnp.asarray(rect_l), jnp.asarray(rect_r),
+        MatcherConfig(block_size=block_size, max_disparity=max_disparity,
+                      smooth_factor=0.9, row_smooth_iters=2),
+    ))
+    agree = float((ours == od).mean())
+    # mask out no-candidate sentinel pixels (negative values): evaldisp
+    # clips the test disparity but not the GT, so exact sentinel
+    # agreement would otherwise count as "bad"
+    pm = evaldisp_np(ours, od.astype(np.float64),
+                     np.where(od > 0, 255, 0).astype(np.uint8))
+    return {
+        "exact_agreement": agree,
+        "bad2_vs_oracle": pm["bad_percent"],
+        "seconds": round(time.time() - t0, 1),
+    }
+
+
 def baseline_for(pair, idx, force=False):
     """Reference reproduction, cached to baselines/."""
     from stereo_reconstruction_tpu.io.pfm import read_pfm, write_pfm
@@ -85,7 +133,23 @@ def main():
     ap.add_argument("--configs", default="ssd,ncc")
     ap.add_argument("--out", default=os.path.join(BASELINES, "full_eval.json"))
     ap.add_argument("--force-baseline", action="store_true")
+    ap.add_argument("--crop", action="store_true",
+                    help="quick mode: matcher parity on a Teddy crop of the "
+                         "raw (pre-rectified) pair only — seconds on CPU")
     args = ap.parse_args()
+
+    if args.crop:
+        from stereo_reconstruction_tpu.data import MiddEval3
+        from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+
+        idx = int(args.scenes) if args.scenes else 13   # Teddy
+        pair = downsample_pair(MiddEval3(args.data).load_training(idx))
+        L = np.asarray(pair.image_left, np.uint8)[100:180, 100:356]
+        R = np.asarray(pair.image_right, np.uint8)[100:180, 100:356]
+        rec = matcher_parity(L, R, max_disparity=48)
+        rec["scene"], rec["git"] = pair.name, git_hash()
+        print(json.dumps(rec))
+        return
 
     from stereo_reconstruction_tpu.config import PipelineConfig
     from stereo_reconstruction_tpu.data import MiddEval3
@@ -106,7 +170,7 @@ def main():
 
     import jax
 
-    results = {}
+    results = {"_meta": {"git": git_hash(), "configs": configs}}
     for idx in scenes:
         # every scene has its own image shape -> its own compiles; drop the
         # previous scene's executables or LLVM section memory accumulates
@@ -135,15 +199,10 @@ def main():
         # rectification run-to-run variance.
         if brec is not None and brec.get("pose"):
             import cv2
-            import jax.numpy as jnp
-            from stereo_reconstruction_tpu import oracle
-            from stereo_reconstruction_tpu.config import MatcherConfig
-            from stereo_reconstruction_tpu.ops.block_search import block_search_right
             from stereo_reconstruction_tpu.rectify.loop_zhang import (
                 loop_zhang_homographies,
             )
 
-            t0 = time.time()
             F = np.asarray(brec["pose"]["F"], np.float64)
             img_l = np.asarray(pair.image_left, np.uint8)
             img_r = np.asarray(pair.image_right, np.uint8)
@@ -155,30 +214,11 @@ def main():
             # the reference evaluates rows < min(h1, h2) only
             # (BlockSearch.cpp height = min); crop both for the comparison
             hm = min(rect_l.shape[0], rect_r.shape[0])
-            rect_l, rect_r = rect_l[:hm], rect_r[:hm]
-            od = oracle.block_search_right_fast(
-                rect_l, rect_r, block_size=17, min_disparity=0,
-                max_disparity=100, smooth_factor=0.9,
-            )
-            ours = np.asarray(block_search_right(
-                jnp.asarray(rect_l), jnp.asarray(rect_r),
-                MatcherConfig(block_size=17, max_disparity=100,
-                              smooth_factor=0.9, row_smooth_iters=2),
-            ))
-            agree = float((ours == od).mean())
-            # mask out no-candidate sentinel pixels (negative values):
-            # evaldisp clips the test disparity but not the GT, so exact
-            # sentinel agreement would otherwise count as "bad"
-            pm = evaldisp_np(ours, od.astype(np.float64),
-                             np.where(od > 0, 255, 0).astype(np.uint8))
-            rec["matcher_parity"] = {
-                "exact_agreement": agree,
-                "bad2_vs_oracle": pm["bad_percent"],
-                "seconds": round(time.time() - t0, 1),
-            }
-            print(f"  matcher parity: agree={agree:.4f} "
-                  f"bad2={pm['bad_percent']:.3f}% ({rec['matcher_parity']['seconds']}s)",
-                  flush=True)
+            rec["matcher_parity"] = matcher_parity(rect_l[:hm], rect_r[:hm])
+            print("  matcher parity: agree="
+                  f"{rec['matcher_parity']['exact_agreement']:.4f} "
+                  f"bad2={rec['matcher_parity']['bad2_vs_oracle']:.3f}% "
+                  f"({rec['matcher_parity']['seconds']}s)", flush=True)
 
         for cname in configs:
             cfg = base.replace(
@@ -226,6 +266,8 @@ def main():
           "vs oracle | ssd vs ref e2e | ncc vs ref e2e | ssd avgErr (GT) |")
     print("|---|---|---|---|---|---|---|")
     for name, rec in results.items():
+        if name.startswith("_"):
+            continue
         bm = (rec.get("baseline") or {}).get("metrics_gt") or {}
         s = rec.get("ssd", {})
         n = rec.get("ncc", {})

@@ -47,6 +47,17 @@ BA_PTS_PER_PROC = 32768
 # -- child ------------------------------------------------------------------
 
 
+
+def _git_hash():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        return "unknown"
+
 def child_main(n: int, proc: int, port: int) -> None:
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
@@ -273,6 +284,7 @@ def main():
         },
     }
     with open(args.out, "w") as f:
+        report["git"] = _git_hash()
         json.dump(report, f, indent=2)
     print(json.dumps(report["efficiency"]))
     print(json.dumps(report["correctness"]))

@@ -50,6 +50,17 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
+
+def _git_hash():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        return "unknown"
+
 def _bench(fn, reps=3):
     import jax
 
@@ -225,6 +236,7 @@ def main():
               f"eff {t_single/t_shard:.2%}", flush=True)
 
     with open(args.out, "w") as f:
+        report["git"] = _git_hash()
         json.dump(report, f, indent=2)
     print("wrote", args.out)
 
