@@ -117,7 +117,10 @@ def detect_and_describe(
     valid = jnp.concatenate([c[5] for c in per_oct])
 
     score = jnp.where(valid, resp, -jnp.inf)
-    top = jnp.argsort(-score)[:K]
+    # top-K selection, not a full sort: same result (descending value,
+    # ties by ascending index — lax.top_k matches stable argsort here)
+    # at a fraction of the cost of sorting all octave candidates
+    _, top = lax.top_k(score, K)
     return Keypoints(
         xy=xy[top],
         scale=scale[top],
@@ -179,8 +182,10 @@ def _octave_extrema(dog, G, sigmas, octave, config: FrontendConfig, K: int):
     response = jnp.where(good, jnp.abs(center), 0.0)
 
     flat = response.reshape(-1)
-    top = jnp.argsort(-flat)[:K]
-    valid = flat[top] > 0
+    # top-K of ~500k candidates: lax.top_k instead of a full argsort (the
+    # sort dominated the SIFT stage; identical selection incl. tie order)
+    top_vals, top = lax.top_k(flat, K)
+    valid = top_vals > 0
     si, yi, xi = jnp.unravel_index(top, response.shape)
 
     # quadratic sub-pixel refinement in x and y

@@ -1,31 +1,26 @@
 #!/usr/bin/env python3
-"""Scaling-efficiency bench on the virtual N-device CPU mesh.
+"""Sharding-overhead bench on the virtual N-device CPU mesh.
 
 Real multi-chip hardware is not reachable from this environment (one TPU
-chip behind a relay), so scaling is characterized the way it can be
-honestly: on the XLA CPU backend with ``--xla_force_host_platform_device_
-count=N`` virtual devices. Two caveats make raw wall-clock weak scaling
-meaningless here and are corrected for:
+chip behind a relay), so what can be measured honestly on a 2-core host
+whose N virtual devices time-slice is NOT speedup — it is the overhead
+the sharded program adds over the identical computation without
+partitioning: SPMD partitioning, halo exchanges (ppermute), reductions
+(psum), and redundant warm-up work.
 
-  * the host has only 2 physical cores, so N virtual devices time-slice:
-    total wall time grows with total work regardless of the sharding;
-  * what actually determines multi-chip efficiency on a real pod slice —
-    where each shard DOES own its compute — is the overhead the sharded
-    program adds on top of the equivalent unsharded computation:
-    partitioning, halo exchanges (ppermute), reductions (psum), and any
-    redundant warm-up work.
-
-The bench therefore reports, per device count n and per workload:
-
-  sharding_efficiency(n) = T_unsharded(total work) / T_sharded(n shards)
-
-on identical host resources — >= 0.8 means the sharded program does at
-most 25% more work+communication than the ideal, which is the transferable
-quantity for ICI-connected chips. Raw wall times are recorded too.
-
-Workloads: data-axis matcher (weak: n pairs over n shards), tile-axis
-matcher (strong: one pair's rows over n shards), distributed two-view BA
-and M=4 multi-view BA (strong: points over n shards).
+Methodology (VERDICT r2 item 5):
+  * the baseline for every workload is THE SAME shard_map entry point on
+    a 1-device mesh — identical code path and scheduling, so the ratio
+    isolates partitioning/collective overhead instead of comparing two
+    differently-scheduled programs;
+  * both sides process the SAME TOTAL WORK on the same host resources
+    (the data-axis "weak" workload batches n pairs on both sides);
+  * reported efficiency is capped at 1.0 — a ratio above 1 on a
+    time-sliced host is an XLA scheduling artifact, not scaling evidence
+    (the raw ratio is recorded separately);
+  * true cross-process scaling lives in tools/multihost_bench.py
+    (jax.distributed + Gloo, core-pinned); its numbers are the ones to
+    quote for "2+ hosts".
 
 Usage:  python tools/scaling_bench.py [--out SCALING.json]
 (sets JAX_PLATFORMS=cpu + 8 virtual devices itself; run alone — timings
@@ -50,7 +45,6 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-
 def _git_hash():
     import subprocess
     try:
@@ -60,6 +54,7 @@ def _git_hash():
             capture_output=True, text=True).stdout.strip()
     except OSError:
         return "unknown"
+
 
 def _bench(fn, reps=3):
     import jax
@@ -72,6 +67,16 @@ def _bench(fn, reps=3):
         jax.block_until_ready(fn())
         ts.append(time.perf_counter() - t0)
     return min(ts)
+
+
+def _row(t_base, t_shard):
+    raw = t_base / t_shard
+    return {
+        "t_mesh1_s": round(t_base, 4),
+        "t_sharded_s": round(t_shard, 4),
+        "overhead_efficiency": round(min(1.0, raw), 4),
+        "raw_ratio": round(raw, 4),
+    }
 
 
 def main():
@@ -94,14 +99,12 @@ def main():
         BundleAdjustmentConfig, MatcherConfig,
     )
     from stereo_reconstruction_tpu.ops import geometry as geo
-    from stereo_reconstruction_tpu.ops.block_search import block_search_right
     from stereo_reconstruction_tpu.parallel import (
         distributed_bundle_adjust, make_mesh, sharded_block_search_right,
     )
     from stereo_reconstruction_tpu.parallel.ba_multiview import (
-        distributed_multiview_bundle_adjust, multiview_bundle_adjust,
+        distributed_multiview_bundle_adjust,
     )
-    from stereo_reconstruction_tpu.pose.ba import bundle_adjust
 
     n_dev = len(jax.devices())
     rng = np.random.default_rng(0)
@@ -116,49 +119,48 @@ def main():
         return jnp.asarray(left), jnp.asarray(right)
 
     report = {
+        "metric": "overhead_efficiency = T(same program, 1-device mesh, "
+                  "same total work) / T(sharded, n devices); capped at 1.0 "
+                  "(time-sliced virtual devices cannot evidence speedup); "
+                  "see MULTIHOST.json for true cross-process scaling",
         "devices": n_dev,
         "physical_cores": os.cpu_count(),
         "workload": {"h": h, "w": w, "D": D,
-             "ba_points": args.ba_points, "mv_points": args.mv_points},
+                     "ba_points": args.ba_points, "mv_points": args.mv_points},
         "data_axis": {}, "tile_axis": {}, "ba": {}, "ba_multiview": {},
     }
-    counts = [n for n in (1, 2, 4, 8) if n <= n_dev]
+    counts = [n for n in (2, 4, 8) if n <= n_dev]
+    mesh1 = make_mesh(data=1, tile=1, devices=jax.devices()[:1])
 
-    # ---- data axis: n pairs over n shards (weak scaling) ----
+    # ---- data axis: n pairs, n shards vs the SAME program on 1 device ----
     for n in counts:
         L, R = make_pairs(n)
-        # unsharded equivalent: same n-pair batch, plain vmap (1 device)
-        f_base = jax.jit(jax.vmap(lambda a, b: block_search_right(a, b, cfg)))
-        t_base = _bench(lambda: f_base(L, R), reps=args.reps)
+        t_base = _bench(
+            lambda: sharded_block_search_right(L, R, mesh1, cfg),
+            reps=args.reps)
         mesh = make_mesh(data=n, tile=1, devices=jax.devices()[:n])
         t_shard = _bench(
-            lambda: sharded_block_search_right(L, R, mesh, cfg), reps=args.reps
-        )
-        report["data_axis"][n] = {
-            "t_unsharded_s": round(t_base, 4),
-            "t_sharded_s": round(t_shard, 4),
-            "sharding_efficiency": round(t_base / t_shard, 4),
-        }
-        print(f"data axis n={n}: unsharded {t_base:.3f}s sharded {t_shard:.3f}s "
-              f"eff {t_base/t_shard:.2%}", flush=True)
+            lambda: sharded_block_search_right(L, R, mesh, cfg),
+            reps=args.reps)
+        report["data_axis"][n] = _row(t_base, t_shard)
+        print(f"data axis n={n}: mesh1 {t_base:.3f}s sharded {t_shard:.3f}s "
+              f"eff {report['data_axis'][n]['overhead_efficiency']:.2%}",
+              flush=True)
 
-    # ---- tile axis: one pair's rows over n shards (strong scaling) ----
+    # ---- tile axis: one pair's rows over n shards ----
     L1, R1 = make_pairs(1)
-    f_single = jax.jit(lambda a, b: block_search_right(a, b, cfg))
-    t_single = _bench(lambda: f_single(L1[0], R1[0]), reps=args.reps)
+    t_base = _bench(
+        lambda: sharded_block_search_right(L1, R1, mesh1, cfg),
+        reps=args.reps)
     for n in counts:
         mesh = make_mesh(data=1, tile=n, devices=jax.devices()[:n])
         t_shard = _bench(
             lambda: sharded_block_search_right(L1, R1, mesh, cfg),
-            reps=args.reps,
-        )
-        report["tile_axis"][n] = {
-            "t_single_s": round(t_single, 4),
-            "t_sharded_s": round(t_shard, 4),
-            "sharding_efficiency": round(t_single / t_shard, 4),
-        }
-        print(f"tile axis n={n}: single {t_single:.3f}s sharded {t_shard:.3f}s "
-              f"eff {t_single/t_shard:.2%}", flush=True)
+            reps=args.reps)
+        report["tile_axis"][n] = _row(t_base, t_shard)
+        print(f"tile axis n={n}: mesh1 {t_base:.3f}s sharded {t_shard:.3f}s "
+              f"eff {report['tile_axis'][n]['overhead_efficiency']:.2%}",
+              flush=True)
 
     # ---- distributed BA: points over n shards ----
     n_pts = args.ba_points
@@ -178,25 +180,19 @@ def main():
     init_R = geo.angle_axis_to_rotation(aa + 0.02)
     init_T = T + 0.05
 
-    t_single = _bench(
-        lambda: bundle_adjust(kp_l, kp_r, K, K, init_R, init_T, pts, config=bcfg),
-        reps=args.reps,
-    )
+    t_base = _bench(
+        lambda: distributed_bundle_adjust(
+            kp_l, kp_r, K, K, init_R, init_T, pts, mesh1, config=bcfg),
+        reps=args.reps)
     for n in counts:
         mesh = make_mesh(data=n, tile=1, devices=jax.devices()[:n])
         t_shard = _bench(
             lambda: distributed_bundle_adjust(
-                kp_l, kp_r, K, K, init_R, init_T, pts, mesh, config=bcfg,
-            ),
-            reps=args.reps,
-        )
-        report["ba"][n] = {
-            "t_single_s": round(t_single, 4),
-            "t_sharded_s": round(t_shard, 4),
-            "sharding_efficiency": round(t_single / t_shard, 4),
-        }
-        print(f"BA n={n}: single {t_single:.3f}s sharded {t_shard:.3f}s "
-              f"eff {t_single/t_shard:.2%}", flush=True)
+                kp_l, kp_r, K, K, init_R, init_T, pts, mesh, config=bcfg),
+            reps=args.reps)
+        report["ba"][n] = _row(t_base, t_shard)
+        print(f"BA n={n}: mesh1 {t_base:.3f}s sharded {t_shard:.3f}s "
+              f"eff {report['ba'][n]['overhead_efficiency']:.2%}", flush=True)
 
     # ---- multi-view BA (M=4) ----
     M = 4
@@ -215,25 +211,20 @@ def main():
     obs = jnp.stack([proj_all(poses[m]) for m in range(M)])
     Ks = jnp.stack([K] * M)
     mcfg = BundleAdjustmentConfig(loss="l2", max_iterations=10)
-    t_single = _bench(
-        lambda: multiview_bundle_adjust(
-            obs, Ks, poses, pts_mv.T + 0.02, config=mcfg),
-        reps=args.reps,
-    )
+    t_base = _bench(
+        lambda: distributed_multiview_bundle_adjust(
+            obs, Ks, poses, pts_mv.T + 0.02, mesh=mesh1, config=mcfg),
+        reps=args.reps)
     for n in counts:
         mesh = make_mesh(data=n, tile=1, devices=jax.devices()[:n])
         t_shard = _bench(
             lambda: distributed_multiview_bundle_adjust(
                 obs, Ks, poses, pts_mv.T + 0.02, mesh=mesh, config=mcfg),
-            reps=args.reps,
-        )
-        report["ba_multiview"][n] = {
-            "t_single_s": round(t_single, 4),
-            "t_sharded_s": round(t_shard, 4),
-            "sharding_efficiency": round(t_single / t_shard, 4),
-        }
-        print(f"MV-BA n={n}: single {t_single:.3f}s sharded {t_shard:.3f}s "
-              f"eff {t_single/t_shard:.2%}", flush=True)
+            reps=args.reps)
+        report["ba_multiview"][n] = _row(t_base, t_shard)
+        print(f"MV-BA n={n}: mesh1 {t_base:.3f}s sharded {t_shard:.3f}s "
+              f"eff {report['ba_multiview'][n]['overhead_efficiency']:.2%}",
+              flush=True)
 
     with open(args.out, "w") as f:
         report["git"] = _git_hash()
