@@ -183,6 +183,22 @@ def main():
             k: round(v * 1000, 1) for k, v in res.timings.items()
         }
 
+        # batched end-to-end (pipeline_batch.py): B pairs through two
+        # device programs — the production multi-scene path
+        from stereo_reconstruction_tpu.pipeline_batch import run_batch
+
+        batch = [qpair] * B
+        run_batch(batch, pcfg)               # compile pass
+        t0 = time.perf_counter()
+        bres = run_batch(batch, pcfg)        # warm pass
+        bt = time.perf_counter() - t0
+        extra["batch_pipeline_pairs_per_s"] = round(B / bt, 3)
+        extra["batch_pipeline_stages_ms"] = {
+            k: round(v * 1000, 1) for k, v in bres.timings.items()
+        }
+        extra["batch_pipeline_bad2_gt"] = round(
+            float(bres.metrics[0].get("bad_percent", -1.0)), 3)
+
     print(
         json.dumps(
             {

@@ -41,6 +41,9 @@ def main(argv=None):
                             "perceptual (default: deterministic He-init)")
     run_p.add_argument("--png-compat", action="store_true",
                        help="quantize disparity through uint8 PNG like the reference")
+    run_p.add_argument("--batch", action="store_true",
+                       help="run all scenarios as ONE batched device "
+                            "program pair (pipeline_batch.run_batch)")
 
     eval_p = sub.add_parser("eval", help="score a disparity PFM against GT")
     eval_p.add_argument("--disp", required=True)
@@ -103,6 +106,23 @@ def _cmd_run(args):
         perceptual=dataclasses.replace(config.perceptual, weights_path=args.weights),
     )
     ds = MiddEval3(args.data)
+
+    if args.batch:
+        from stereo_reconstruction_tpu.pipeline_batch import run_batch
+
+        pairs = []
+        for idx in args.scenario:
+            pair = (ds.load_training(idx) if args.split == "training"
+                    else ds.load_test(idx))
+            for _ in range(max(0, args.downsample - 1)):
+                pair = downsample_pair(pair)
+            pairs.append(pair)
+        res = run_batch(pairs, config)
+        for pair, m in zip(pairs, res.metrics):
+            print(json.dumps({"scenario": pair.name, **m,
+                              "timings": res.timings}))
+        return
+
     for idx in args.scenario:
         pair = (
             ds.load_training(idx) if args.split == "training" else ds.load_test(idx)

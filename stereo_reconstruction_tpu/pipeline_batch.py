@@ -1,0 +1,179 @@
+"""Batched end-to-end pipeline: B pairs as two device programs.
+
+``run_pair`` (pipeline.py) reproduces the reference ``main()`` flow
+(src/main.cpp:13-66) one pair at a time with a host round-trip per
+stage; at round-2 it ran at 1.78 pairs/s on TPU — the matcher beat its
+target 13.8x while the pipeline around it stayed host-bound (VERDICT r2
+item 2). This module batches the whole flow over B pairs:
+
+  device program 1  (_pose_batch):   vmapped sparse-pose stage
+                                     (SIFT x2 -> match -> RANSAC -> BA)
+  host              (tiny f64 math): Loop-Zhang homographies per pair
+                                     (3x3 matrices; microseconds each)
+  device program 2  (_dense_batch):  vmapped warp -> dense matcher ->
+                                     disparity back-warp -> outlier clamp
+                                     -> depth
+
+Two host->device round-trips per BATCH instead of four per PAIR, and
+every stage runs at batch width on the MXU.
+
+Failure masking (SURVEY §5): pairs whose pose is degenerate fall back to
+matching the raw pair inside the SAME batched program — their
+homographies are replaced by identity, so the warp is a zero-padded copy
+(MiddEval3 pairs are row-aligned already). This mirrors run_pair's
+fallback up to the static canvas padding (documented deviation: near the
+right edge the canvas's black padding stands in for out-of-image
+candidates, exactly as it does on the rectified path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereo_reconstruction_tpu.config import PipelineConfig
+from stereo_reconstruction_tpu.data.records import StereoPair, pad_to
+from stereo_reconstruction_tpu.ops import metrics as metrics_mod
+from stereo_reconstruction_tpu.ops.block_search import block_search_right
+from stereo_reconstruction_tpu.ops.warp import warp_perspective
+from stereo_reconstruction_tpu.pipeline import _pose_device
+from stereo_reconstruction_tpu.recon.disparity import (
+    disparity_to_depth,
+    remove_disparity_outliers,
+)
+from stereo_reconstruction_tpu.rectify.loop_zhang import loop_zhang_homographies
+from stereo_reconstruction_tpu.rectify.rectifier import static_canvas
+
+
+@dataclasses.dataclass
+class BatchResult:
+    disparity: np.ndarray          # (B, H, W) original-frame right disparity
+    depth: np.ndarray              # (B, H, W)
+    pose: object                   # vmapped PoseEstimate (leaves have B dim)
+    pose_ok: np.ndarray            # (B,) bool — valid pose used for rectify
+    metrics: List[Dict[str, float]]
+    timings: Dict[str, float]
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _pose_batch(keys, left, right, K_left, K_right, config: PipelineConfig):
+    return jax.vmap(
+        lambda k, l, r, kl, kr: _pose_device(k, l, r, kl, kr, config)
+    )(keys, left, right, K_left, K_right)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "canvas", "out_shape"))
+def _dense_batch(left, right, H_left, H_right, K_right, pose_ok,
+                 config: PipelineConfig, canvas, out_shape):
+    eye = jnp.eye(3, dtype=jnp.float32)
+
+    def one(l, r, hl, hr, k, ok):
+        hl = jnp.where(ok, hl, eye)
+        hr = jnp.where(ok, hr, eye)
+        rect_l = warp_perspective(l, hl, canvas, method="bilinear")
+        rect_r = warp_perspective(r, hr, canvas, method="bilinear")
+        disp_rect = block_search_right(rect_l, rect_r, config.matcher)
+        # NN back-warp of disparity VALUES (the reference's approximation,
+        # rectification.cpp:70-88, corrected to the right-image H)
+        disp = warp_perspective(
+            disp_rect, jnp.linalg.inv(hr), out_shape, method="nearest")
+        disp_clean = remove_disparity_outliers(
+            disp, config.recon.outlier_kernel,
+            config.recon.outlier_front, config.recon.outlier_back)
+        depth = disparity_to_depth(disp_clean, k[0, 0], config.recon.baseline)
+        return disp, depth
+
+    return jax.vmap(one)(left, right, H_left, H_right, K_right, pose_ok)
+
+
+def run_batch(
+    pairs: Sequence[StereoPair],
+    config: PipelineConfig = PipelineConfig(),
+    key: Optional[jax.Array] = None,
+) -> BatchResult:
+    """Full reconstruction of a batch of stereo pairs (reference main.cpp
+    flow, batched; see module docstring)."""
+    timings: Dict[str, float] = {}
+    B = len(pairs)
+    hmax = max(p.height for p in pairs)
+    wmax = max(p.width for p in pairs)
+    hmax += (-hmax) % 8
+    wmax += (-wmax) % 128
+    padded = [pad_to(p, hmax, wmax) for p in pairs]
+
+    L = jnp.stack([jnp.asarray(p.image_left) for p in padded])
+    R = jnp.stack([jnp.asarray(p.image_right) for p in padded])
+    KL = jnp.stack([jnp.asarray(p.intrinsics_left) for p in padded])
+    KR = jnp.stack([jnp.asarray(p.intrinsics_right) for p in padded])
+    key = jax.random.key(config.seed) if key is None else key
+    keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(B))
+
+    t0 = time.perf_counter()
+    pose = _pose_batch(keys, L, R, KL, KR, config)
+    F_all = np.asarray(pose.fundamental, np.float64)        # one readback
+    valid = np.asarray(pose.valid)
+    err_ba = np.asarray(pose.reproj_error_ba)
+    timings["pose"] = time.perf_counter() - t0
+
+    # host: Loop-Zhang per pair — 3x3 f64 math (microseconds per pair)
+    t0 = time.perf_counter()
+    pose_ok = valid & (err_ba < 50.0)
+    Hl = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    Hr = np.tile(np.eye(3, dtype=np.float32), (B, 1, 1))
+    for i in range(B):
+        if pose_ok[i]:
+            try:
+                # the pair's TRUE shape, not the batch padding: the
+                # shearing stage normalizes by the image corners, and the
+                # back-warp resamples disparity VALUES — a wrong canvas
+                # scale would rescale every disparity
+                homs = loop_zhang_homographies(
+                    F_all[i],
+                    (pairs[i].height, pairs[i].width),
+                    (pairs[i].height, pairs[i].width))
+                Hl[i] = homs.H_left.astype(np.float32)
+                Hr[i] = homs.H_right.astype(np.float32)
+            except Exception:
+                pose_ok[i] = False                          # degenerate F
+    timings["loop_zhang_host"] = time.perf_counter() - t0
+
+    canvas = static_canvas((hmax, wmax), (hmax, wmax), config.rectify)
+    t0 = time.perf_counter()
+    disp, depth = _dense_batch(
+        L, R, jnp.asarray(Hl), jnp.asarray(Hr), KR,
+        jnp.asarray(pose_ok), config, canvas, (hmax, wmax))
+    disp_np = np.asarray(disp)
+    depth_np = np.asarray(depth)
+    timings["dense"] = time.perf_counter() - t0
+
+    metrics: List[Dict[str, float]] = []
+    for i, p in enumerate(padded):
+        m: Dict[str, float] = {
+            "pose_ok": float(pose_ok[i]),
+            "reproj_error_ba": float(err_ba[i]),
+        }
+        if p.disp_right_gt is not None and p.mask_right_nocc is not None:
+            ev = metrics_mod.evaldisp(
+                jnp.asarray(disp_np[i]),
+                jnp.asarray(p.disp_right_gt),
+                jnp.asarray(p.mask_right_nocc),
+                bad_thresh=2.0,
+                max_disp=float(p.ndisp or 1e9),
+            )
+            m.update({k: float(v) for k, v in ev.items()})
+        metrics.append(m)
+
+    return BatchResult(
+        disparity=disp_np,
+        depth=depth_np,
+        pose=pose,
+        pose_ok=pose_ok,
+        metrics=metrics,
+        timings=timings,
+    )

@@ -41,6 +41,11 @@ class UncalibratedResult:
     rectified_left: np.ndarray
     rectified_right: np.ndarray
     num_inliers: int
+    # rectification quality: mean |y_left - y_right| over the F-inlier
+    # matches AFTER warping by the Loop-Zhang homographies — rectified
+    # correspondences must share scanlines (the property the whole
+    # pipeline exists to establish; gated in tests/test_uncalibrated.py)
+    epipolar_alignment_px: float = float("nan")
 
 
 def run_uncalibrated(
@@ -105,6 +110,12 @@ def run_uncalibrated(
         )
         F_rect = np.asarray(fr2.F, np.float64)
 
+    align = float("nan")
+    if rect.matches_left is not None and int(inl.sum()) > 0:
+        dy = np.abs(np.asarray(rect.matches_left)[1]
+                    - np.asarray(rect.matches_right)[1])
+        align = float(np.mean(dy))
+
     result = UncalibratedResult(
         F=F,
         F_rectified=F_rect,
@@ -112,6 +123,7 @@ def run_uncalibrated(
         rectified_left=np.asarray(rect.left),
         rectified_right=np.asarray(rect.right),
         num_inliers=int(fr.num_inliers),
+        epipolar_alignment_px=align,
     )
 
     if output_dir:

@@ -6,6 +6,7 @@ search -> F re-estimation + epiline artifacts.
 import os
 
 import numpy as np
+import pytest
 
 from stereo_reconstruction_tpu.config import MatcherConfig, OrbConfig, PipelineConfig
 from stereo_reconstruction_tpu.pipeline_uncalibrated import run_uncalibrated
@@ -43,3 +44,55 @@ def test_uncalibrated_end_to_end(tmp_path):
     # (any epipole on the x-axis fits), so no assertion on F's exact form —
     # the matched points satisfying x'^T F x = 0 is checked by RANSAC's
     # inlier count above.
+
+
+def test_synthetic_pair_epipolar_alignment():
+    """Rectified inlier matches must share scanlines (mean |dy| small) —
+    the uncalibrated pipeline's core guarantee (VERDICT r2 item 7)."""
+    L, R = _pair()
+    cfg = PipelineConfig(
+        matcher=MatcherConfig(max_disparity=16),
+        orb=OrbConfig(max_keypoints=256, num_levels=2),
+    )
+    res = run_uncalibrated(L, R, cfg)
+    assert np.isfinite(res.epipolar_alignment_px)
+    assert res.epipolar_alignment_px <= 1.0, res.epipolar_alignment_px
+
+
+@pytest.mark.slow
+def test_real_scene_epipolar_alignment(middeval_root):
+    """LIVE quality gate on a real scene at reduced resolution: the
+    ORB+F+Loop-Zhang chain must rectify true correspondences onto common
+    scanlines within 2px (the recorded 3-scene record is
+    baselines/uncalibrated_eval.json via tools/uncalibrated_eval.py)."""
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+
+    pair = downsample_pair(downsample_pair(
+        MiddEval3(middeval_root).load_training(13)))
+    cfg = PipelineConfig(matcher=MatcherConfig(max_disparity=64))
+    res = run_uncalibrated(
+        np.asarray(pair.image_left, np.uint8),
+        np.asarray(pair.image_right, np.uint8), cfg, detector="orb")
+    assert res.num_inliers >= 30
+    assert res.epipolar_alignment_px <= 2.0, res.epipolar_alignment_px
+
+
+def test_recorded_uncalibrated_eval_gate():
+    """Gate the recorded 3-scene uncalibrated quality record."""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "baselines",
+                        "uncalibrated_eval.json")
+    if not os.path.exists(path):
+        pytest.skip("uncalibrated_eval.json not generated")
+    with open(path) as f:
+        data = json.load(f)
+    from conftest import warn_if_stale_baseline
+
+    warn_if_stale_baseline(data, "uncalibrated_eval.json")
+    assert len(data["scenes"]) >= 3
+    for scene, rec in data["scenes"].items():
+        for det, r in rec.items():
+            assert r["num_inliers"] >= 30, (scene, det, r)
+            assert r["epipolar_alignment_px"] <= 2.0, (scene, det, r)
