@@ -55,6 +55,10 @@ def main():
                     help="in-jit matcher steps for steady-state timing")
     ap.add_argument("--skip-pipeline", action="store_true",
                     help="skip the end-to-end pipeline measurement")
+    ap.add_argument("--profile", action="store_true",
+                    help="capture a jax.profiler trace of the matcher loop "
+                         "(best-effort through the relay) and record the "
+                         "kernel's modeled MXU throughput/utilization")
     args = ap.parse_args()
     if args.quick and args.full:
         ap.error("--quick and --full are mutually exclusive")
@@ -148,6 +152,44 @@ def main():
     )
     exact_agree = float((disp_crop == ref_crop).mean())
 
+    if args.profile:
+        # modeled kernel arithmetic (ops/pallas_cost_volume.py shapes) vs
+        # the measured marginal step time -> achieved TFLOP/s and MXU
+        # utilization. The banded-matmul window sum dominates: per
+        # (band, W-tile, 16-disparity group) one (128, Wbw) @ (Wbw, Wout)
+        # MXU matmul; Precision.HIGHEST multiplies the MXU passes by 6.
+        # VPU work (squared diffs + vertical doubling tree) is counted
+        # separately. Peak: TPU v5e ~197 bf16 TFLOP/s/chip.
+        bs = cfg.block_size
+        hbs = (bs - 1) // 2
+        hw = 2 * hbs
+        D = cfg.max_disparity - cfg.min_disparity
+        H8 = -(-h // 8)
+        Wout = min(w + (-w) % 128, 512)
+        Wn = -(-(w + (-w) % 128) // Wout)
+        Wbw = Wout + hw + (-hw) % 128
+        groups = -(-D // 16)
+        passes = 6  # Precision.HIGHEST
+        mxu_flops = H8 * Wn * groups * 2 * 128 * Wbw * Wout * passes
+        band_rows = 8 + hw
+        vpu_flops = H8 * Wn * D * band_rows * Wbw * (3 * 3 + 5)
+        peak = 197e12
+        achieved = mxu_flops / per_pair
+        profile_extra = {
+            "mxu_model_flops_per_pair": mxu_flops,
+            "vpu_model_flops_per_pair": vpu_flops,
+            "mxu_achieved_tflops": round(achieved / 1e12, 1),
+            "mxu_utilization_pct_of_v5e_peak": round(100 * achieved / peak, 1),
+            "precision_passes": passes,
+        }
+        try:
+            trace_dir = "/tmp/stpu_trace"
+            with jax.profiler.trace(trace_dir):
+                _ = float(fK())
+            profile_extra["trace_dir"] = trace_dir
+        except Exception as e:  # the relay may not support profiling
+            profile_extra["trace_error"] = str(e)[:120]
+
     extra = {
         "platform": platform,
         "config": config_name,
@@ -161,6 +203,8 @@ def main():
         "bad2_vs_reference_oracle_crop": round(float(m["bad_percent"]), 4),
         "oracle_exact_agreement_crop": round(exact_agree, 5),
     }
+    if args.profile:
+        extra["profile"] = profile_extra
 
     # end-to-end pipeline (pose -> rectify -> match -> recon), one pair
     if pair is not None and not args.full and not args.skip_pipeline:

@@ -31,7 +31,7 @@ REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 sys.path.insert(0, REPO)
 
 DATA_ROOT = "/root/reference/data/MiddEval3"
-SCENES = [0, 8, 13]          # Adirondack, Piano, Teddy
+SCENES = [0, 8, 13]          # Adirondack, Playroom, Teddy
 
 
 def main():
