@@ -91,7 +91,9 @@ def detect_and_describe(
     octave_img = base
     for octave in range(config.num_octaves):
         oh, ow = octave_img.shape
-        if oh < 16 or ow < 16:
+        # the orientation stage slices a 17x17 patch (R=8) — octaves
+        # smaller than that cannot host a keypoint
+        if oh < 17 or ow < 17:
             break
         # scale stack: s+3 gaussian planes
         sigmas = [sig0 * (2.0 ** (i / s)) for i in range(s + 3)]

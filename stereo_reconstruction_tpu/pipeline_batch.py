@@ -96,9 +96,17 @@ def run_batch(
     pairs: Sequence[StereoPair],
     config: PipelineConfig = PipelineConfig(),
     key: Optional[jax.Array] = None,
+    mesh=None,
 ) -> BatchResult:
     """Full reconstruction of a batch of stereo pairs (reference main.cpp
-    flow, batched; see module docstring)."""
+    flow, batched; see module docstring).
+
+    ``mesh``: a ``jax.sharding.Mesh`` with a ``"data"`` axis shards the
+    batch across devices — both device programs are vmapped over B, so
+    XLA SPMD-partitions them along the batch dimension with no
+    cross-pair collectives (the pairs are independent until the metric
+    reduce). B must be a multiple of the axis size.
+    """
     timings: Dict[str, float] = {}
     B = len(pairs)
     hmax = max(p.height for p in pairs)
@@ -113,6 +121,17 @@ def run_batch(
     KR = jnp.stack([jnp.asarray(p.intrinsics_right) for p in padded])
     key = jax.random.key(config.seed) if key is None else key
     keys = jax.vmap(jax.random.fold_in, (None, 0))(key, jnp.arange(B))
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard(x, rank):
+            spec = P(*(("data",) + (None,) * (rank - 1)))
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        L, R = shard(L, 4), shard(R, 4)
+        KL, KR = shard(KL, 3), shard(KR, 3)
+        keys = shard(keys, 1)
 
     t0 = time.perf_counter()
     pose = _pose_batch(keys, L, R, KL, KR, config)

@@ -55,3 +55,23 @@ def test_batch_failure_masking(teddy_ds2, cfg):
     assert float(np.abs(res.disparity[1]).max()) == 0.0
     # the good pair is unaffected by its failed batchmate
     assert res.metrics[0]["bad_percent"] < 25.0
+
+
+def test_batch_sharded_over_data_mesh(teddy_ds2, cfg):
+    """The batched pipeline SPMD-partitions over a ('data',) mesh: same
+    outputs as the unsharded batch (both device programs are pure vmaps
+    over independent pairs) up to SPMD reduction-order float noise."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from stereo_reconstruction_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, tile=1, devices=jax.devices()[:2])
+    res_m = run_batch([teddy_ds2, teddy_ds2], cfg, mesh=mesh)
+    res_s = run_batch([teddy_ds2, teddy_ds2], cfg)
+    # SPMD partitioning reassociates conv/matmul reductions, so a handful
+    # of descriptor/argmin ties can flip — require near-identity
+    mismatch = float((res_m.disparity != res_s.disparity).mean())
+    assert mismatch < 1e-3, f"{mismatch:.2%} pixels differ"
+    assert res_m.pose_ok.all()
