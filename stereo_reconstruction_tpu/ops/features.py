@@ -237,7 +237,11 @@ def _orientation(mag, ang, si, yi, xi, sigs):
         dx = jnp.arange(-R, R + 1, dtype=jnp.float32)[None, :]
         wgt = jnp.exp(-(dy * dy + dx * dx) / (2 * (1.5 * sigs[s]) ** 2))
         bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
-        hist = jnp.zeros(36).at[bins.reshape(-1)].add((m * wgt).reshape(-1))
+        # histogram as a one-hot contraction, not a scatter-add: TPU
+        # scatters serialize on the scalar unit; this is one batched
+        # matvec on the VPU/MXU
+        onehot = (bins.reshape(-1)[:, None] == jnp.arange(36)).astype(jnp.float32)
+        hist = (m * wgt).reshape(-1) @ onehot
         # smooth the circular histogram
         hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
         b = jnp.argmax(hist)
@@ -276,7 +280,9 @@ def _descriptor(mag, ang, si, yi, xi, sigs, ori):
         )                                               # (16,16) in [0,16)
         obin = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
         idx = spatial * 8 + obin                         # (16,16) in [0,128)
-        d = jnp.zeros(128).at[idx.reshape(-1)].add(mw.reshape(-1))
+        # scatter-free binning (see _orientation): one-hot matvec
+        onehot = (idx.reshape(-1)[:, None] == jnp.arange(128)).astype(jnp.float32)
+        d = mw.reshape(-1) @ onehot
 
         d = d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
         d = jnp.minimum(d, 0.2)

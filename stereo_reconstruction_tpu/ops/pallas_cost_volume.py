@@ -18,9 +18,12 @@ traffic is images-once-in + volume-once-out:
        clipped windows are exactly the fixed 16x16 window intersected
        with that region),
     3. window-sums vertically with an O(log hw) doubling tree of
-       sublane-shift adds, and horizontally with ONE MXU matmul per group
-       of 16 disparities against a banded 0/1 matrix
-       (``h[x] = sum_{m<hw} v[x+m]  ==  v @ M``, ``M[p,x] = [x <= p < x+hw]``),
+       sublane-shift adds, and horizontally with either the same doubling
+       tree over lanes (``HSUM_MODE="tree"``, the default — exact VPU
+       adds) or ONE MXU banded matmul per group of 16 disparities at
+       HIGHEST precision (``h[x] = sum_{m<hw} v[x+m]  ==  v @ M``,
+       ``M[p,x] = [x <= p < x+hw]``) — both bit-exact for the
+       integer-valued sums,
     4. applies the reference cost transform sqrt(SSD)/area
        (BlockSearch.cpp:156-158) and the candidate-validity /
        zero-area masks (+inf), and stores one (8, W) plane.
@@ -43,6 +46,15 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# horizontal window-sum implementation: "matmul" (banded MXU matmul at
+# HIGHEST precision) or "tree" (VPU lane-shift doubling tree). Both are
+# bit-exact for the integer-valued window sums and benched IDENTICAL
+# throughput on v5e (500.6 vs 499.5 pairs/s) — the horizontal sum is not
+# on the critical path — but "tree" costs 5.6x the Mosaic compile time
+# (938s vs 168s), so "matmul" is the default.
+HSUM_MODE = "matmul"
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -74,6 +86,8 @@ def _kernel(
     WL: int,
     Wbw: int,    # band compute width for one W tile (Wtile + halo lanes)
     Wout: int,   # output lanes per W tile
+    hsum: str,   # horizontal window sum: "tree" (VPU lane shifts, exact)
+                 # or "matmul" (MXU banded matmul @ HIGHEST precision)
 ):
     i = pl.program_id(0)
     wt = pl.program_id(1)
@@ -117,12 +131,12 @@ def _kernel(
     base = pl.multiple_of(w0 + dc * Dc, 128)
     lc = lband_ref[0, :, pl.ds(base, Wbw + Dc)]              # (3*br, Wbw+Dc)
 
-    # horizontal window sum as ONE MXU matmul per group of GD disparities:
-    # h[x] = sum_{m<hw} v[x+m]  ==  v @ M with the banded 0/1 matrix
-    # M[p, x] = [x <= p < x+hw]  (p: band lane, x: output column)
-    p_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 0)
-    x_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 1)
-    band_mat = ((p_ids >= x_ids) & (p_ids < x_ids + hw)).astype(f32)
+    if hsum != "tree":
+        # banded 0/1 matrix for the matmul mode:
+        # h[x] = sum_{m<hw} v[x+m]  ==  v @ M, M[p, x] = [x <= p < x+hw]
+        p_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 0)
+        x_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 1)
+        band_mat = ((p_ids >= x_ids) & (p_ids < x_ids + hw)).astype(f32)
 
     GD = 128 // 8                                            # disparities per matmul
     inv_area_g = jnp.concatenate([inv_area] * GD, axis=0)    # (128, Wout)
@@ -175,16 +189,34 @@ def _kernel(
                 bit //= 2
             vs.append(acc)                                   # (8, Wbw)
         v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
-        # HIGHEST precision: the window sums are integer-valued (< 2^24,
-        # exact in f32); default bf16 MXU passes would perturb costs by
-        # ~0.1 and flip ~0.5% of argmin decisions vs the XLA path. The
-        # kernel is VPU-bound (squared diffs), so the extra passes on
-        # this one small matmul are not on the critical path.
-        h = jax.lax.dot_general(
-            v, band_mat, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                    # (128, Wout)
+        # horizontal window sum. Exactness matters: the sums are
+        # integer-valued (< 2^24, exact in f32 under ANY summation
+        # order), but default-precision MXU matmuls run bf16 passes that
+        # perturb costs by ~0.1 and flip ~0.5% of argmin decisions.
+        if hsum == "tree":
+            # lane-axis doubling tree: O(log hw) shifted VPU adds —
+            # exact, and cheaper than a 6-pass f32 matmul
+            hs = {1: v}
+            q = 1
+            while q * 2 <= hw:
+                s = hs[q]
+                hs[q * 2] = s[:, : s.shape[1] - q] + s[:, q:]
+                q *= 2
+            h, off, bit = None, 0, q
+            while bit >= 1:
+                if hw & bit:
+                    term = hs[bit][:, off : off + Wout]
+                    h = term if h is None else h + term
+                    off += bit
+                bit //= 2
+        else:
+            # MXU banded matmul at HIGHEST precision (6 bf16 passes
+            # reconstruct f32 exactly for these integer-valued sums)
+            h = jax.lax.dot_general(
+                v, band_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                # (128, Wout)
 
         cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g
         valid = (
@@ -362,7 +394,7 @@ def _run(left, right, block_size, min_disparity, max_disparity,
 
     kernel = functools.partial(
         _kernel, mode=mode, Dc=Dc, D=D, hbs=hbs, min_d=min_disparity,
-        W=W, WL=WL, Wbw=Wbw, Wout=Wout,
+        W=W, WL=WL, Wbw=Wbw, Wout=Wout, hsum=HSUM_MODE,
     )
 
     if mode == "volume":

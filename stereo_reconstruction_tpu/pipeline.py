@@ -72,8 +72,14 @@ def _pose_device(key, image_left, image_right, K_left, K_right,
     One host->device call instead of five (each call through the axon
     relay costs ~45 ms fixed latency), and no per-scene recompile (the
     valid-match count is a traced scalar, not a static shape)."""
-    kp_l = detect_and_describe(image_left, config.frontend)
-    kp_r = detect_and_describe(image_right, config.frontend)
+    # both images through ONE vmapped detector program: halves dispatch
+    # count and lets XLA schedule the two pyramids together (the SIFT
+    # stage dominates the pose program — baselines/pose_profile.json)
+    kp_pair = jax.vmap(
+        lambda img: detect_and_describe(img, config.frontend)
+    )(jnp.stack([image_left, image_right]))
+    kp_l = jax.tree.map(lambda x: x[0], kp_pair)
+    kp_r = jax.tree.map(lambda x: x[1], kp_pair)
     matches = match_descriptors(kp_l, kp_r, config.frontend)
     ml, mr, valid = matches_to_homogeneous(matches)
 

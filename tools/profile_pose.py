@@ -142,6 +142,17 @@ def main():
         return res.pose[0, 0] + res.final_cost
     S["ba_alone"] = marginal_ms(ba_body, "BA alone")
 
+    # 6. the REAL pose stage end-to-end (pipeline._pose_device: vmapped
+    # pair SIFT -> match -> compact -> RANSAC -> filter -> BA)
+    from stereo_reconstruction_tpu.pipeline import _pose_device
+
+    def pose_device_body(i):
+        key = jax.random.fold_in(jax.random.key(0), i)
+        pe = _pose_device(key, img_l + 0.25 * (1.0 + i.astype(jnp.float32)),
+                          img_r, K_l, K_r, cfg)
+        return pe.pose[0, 0] + pe.reproj_error_ba
+    S["pose_device_total"] = marginal_ms(pose_device_body, "pose device total")
+
     S["pose_total_est"] = round(2 * S["sift_one_image"] + S["match_compact"]
                                 + S["pose_from_matches"], 2)
     try:
