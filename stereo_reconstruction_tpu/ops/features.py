@@ -79,15 +79,31 @@ def detect_and_describe(
     image: jnp.ndarray,                    # (H, W, 3) or (H, W)
     config: FrontendConfig = FrontendConfig(),
 ) -> Keypoints:
+    det = _detect(image, config)
+    return _describe(det, config)
+
+
+def _detect(image, config: FrontendConfig):
+    """Pyramid + per-octave extrema + global top-K (no ori/desc).
+
+    Returns the winner indices plus the flat padded gradient pyramid the
+    describe stage gathers from (kept separate so the profiler can time
+    detection and description independently)."""
     gray = rgb_to_gray(image) / 255.0
-    h, w = gray.shape
     K = config.max_keypoints
     s = config.scales_per_octave
     sig0 = config.init_sigma
 
-    # candidates per octave, later merged by top-K
+    # Detection runs per octave (top-K candidates each); orientation and
+    # descriptors run ONCE on the K global winners (not num_octaves*K
+    # candidates) — the per-keypoint gathers are the expensive part of
+    # the frontend, so describing losers is pure waste. The per-octave
+    # gradient pyramids are zero-padded to the octave-0 shape and stacked
+    # flat as (n_oct*s, H0, W0) so the winner gathers index one array.
     per_oct = []
+    mags, angs, shapes = [], [], []
     base = gaussian_blur(gray, sig0)
+    h0, w0 = base.shape
     octave_img = base
     for octave in range(config.num_octaves):
         oh, ow = octave_img.shape
@@ -105,8 +121,17 @@ def detect_and_describe(
         G = jnp.stack(gauss)                          # (s+3, oh, ow)
         dog = G[1:] - G[:-1]                           # (s+2, oh, ow)
 
-        cands = _octave_extrema(dog, G, sigmas, octave, config, K)
+        cands = _octave_candidates(dog, sigmas, octave, config, K)
         per_oct.append(cands)
+
+        # gradients of the matching gaussian planes for ori/descriptor
+        Gsel = G[1:-2]                                # planes of `center`
+        gx = (jnp.roll(Gsel, -1, 2) - jnp.roll(Gsel, 1, 2)) / 2.0
+        gy = (jnp.roll(Gsel, -1, 1) - jnp.roll(Gsel, 1, 1)) / 2.0
+        pad = [(0, 0), (0, h0 - oh), (0, w0 - ow)]
+        mags.append(jnp.pad(jnp.sqrt(gx * gx + gy * gy), pad))
+        angs.append(jnp.pad(jnp.arctan2(gy, gx), pad))
+        shapes.append((oh, ow))
 
         octave_img = _downsample2(G[s])               # seed next octave
 
@@ -114,27 +139,58 @@ def detect_and_describe(
     xy = jnp.concatenate([c[0] for c in per_oct])
     scale = jnp.concatenate([c[1] for c in per_oct])
     resp = jnp.concatenate([c[2] for c in per_oct])
-    ori = jnp.concatenate([c[3] for c in per_oct])
-    desc = jnp.concatenate([c[4] for c in per_oct])
-    valid = jnp.concatenate([c[5] for c in per_oct])
+    valid = jnp.concatenate([c[3] for c in per_oct])
+    si = jnp.concatenate([c[4] for c in per_oct])
+    yi = jnp.concatenate([c[5] for c in per_oct])
+    xi = jnp.concatenate([c[6] for c in per_oct])
+    oi = jnp.concatenate([
+        jnp.full(c[0].shape[0], o, jnp.int32) for o, c in enumerate(per_oct)
+    ])
 
     score = jnp.where(valid, resp, -jnp.inf)
     # top-K selection, not a full sort: same result (descending value,
     # ties by ascending index — lax.top_k matches stable argsort here)
     # at a fraction of the cost of sorting all octave candidates
     _, top = lax.top_k(score, K)
+
+    mag = jnp.concatenate(mags)                       # (n_oct*s, H0, W0)
+    ang = jnp.concatenate(angs)
+    oh_arr = jnp.asarray([sh[0] for sh in shapes], jnp.int32)
+    ow_arr = jnp.asarray([sh[1] for sh in shapes], jnp.int32)
+    sigs = jnp.asarray(
+        [sig0 * (2.0 ** (i / s)) for i in range(1, s + 1)], jnp.float32)
+
+    oi_w, si_w, yi_w, xi_w = oi[top], si[top], yi[top], xi[top]
+    plane = oi_w * s + si_w                           # flat pyramid index
+    return {
+        "xy": xy[top], "scale": scale[top], "response": resp[top],
+        "valid": valid[top], "plane": plane, "si": si_w, "yi": yi_w,
+        "xi": xi_w, "mag": mag, "ang": ang, "sigs": sigs,
+        "oh": oh_arr[oi_w], "ow": ow_arr[oi_w],
+    }
+
+
+def _describe(det, config: FrontendConfig) -> Keypoints:
+    """Orientation + descriptor for the K global winners of _detect."""
+    mag, ang, sigs = det["mag"], det["ang"], det["sigs"]
+    plane, si, yi, xi = det["plane"], det["si"], det["yi"], det["xi"]
+    oh, ow = det["oh"], det["ow"]
+    ori = _orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow)
+    desc = _descriptor(mag, ang, plane, si, yi, xi, sigs, ori, oh, ow)
     return Keypoints(
-        xy=xy[top],
-        scale=scale[top],
-        response=resp[top],
-        orientation=ori[top],
-        descriptors=desc[top],
-        valid=valid[top],
+        xy=det["xy"],
+        scale=det["scale"],
+        response=det["response"],
+        orientation=ori,
+        descriptors=desc,
+        valid=det["valid"],
     )
 
 
-def _octave_extrema(dog, G, sigmas, octave, config: FrontendConfig, K: int):
-    """Top-K scale-space extrema of one octave + their descriptors."""
+def _octave_candidates(dog, sigmas, octave, config: FrontendConfig, K: int):
+    """Top-K scale-space extrema of one octave (detection only; the
+    winners' orientations/descriptors are computed after the global
+    cross-octave merge)."""
     ns, oh, ow = dog.shape
     stride = 2.0 ** octave
 
@@ -211,28 +267,25 @@ def _octave_extrema(dog, G, sigmas, octave, config: FrontendConfig, K: int):
     kp_x = (xi.astype(jnp.float32) + off_x) * stride
     kp_y = (yi.astype(jnp.float32) + off_y) * stride
 
-    # gradients of the matching gaussian plane for ori/descriptor
-    Gsel = G[1:-2]  # planes aligned with `center` scales
-    gx = (jnp.roll(Gsel, -1, 2) - jnp.roll(Gsel, 1, 2)) / 2.0
-    gy = (jnp.roll(Gsel, -1, 1) - jnp.roll(Gsel, 1, 1)) / 2.0
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    ang = jnp.arctan2(gy, gx)
-
-    ori = _orientation(mag, ang, si, yi, xi, sigs)
-    desc = _descriptor(mag, ang, si, yi, xi, sigs, ori)
-
     xy = jnp.stack([kp_x, kp_y], axis=-1)
-    return xy, kp_sigma, flat[top], ori, desc, valid
+    return (xy, kp_sigma, flat[top], valid,
+            si.astype(jnp.int32), yi.astype(jnp.int32), xi.astype(jnp.int32))
 
 
-def _orientation(mag, ang, si, yi, xi, sigs):
+def _orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow):
     """Dominant gradient orientation: 36-bin histogram over a Gaussian-
-    weighted patch (vmapped per keypoint)."""
+    weighted patch (vmapped per keypoint).
+
+    ``mag``/``ang`` are the flat padded pyramid (n_oct*s, H0, W0);
+    ``plane`` selects the keypoint's plane, ``oh``/``ow`` carry its
+    octave's true (unpadded) extent for the border clips."""
     R = 8
 
-    def one(s, y, x):
-        m = lax.dynamic_slice(mag, (s, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
-        a = lax.dynamic_slice(ang, (s, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
+    def one(p, s, y, x):
+        m = lax.dynamic_slice(
+            mag, (p, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
+        a = lax.dynamic_slice(
+            ang, (p, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
         dy = jnp.arange(-R, R + 1, dtype=jnp.float32)[:, None]
         dx = jnp.arange(-R, R + 1, dtype=jnp.float32)[None, :]
         wgt = jnp.exp(-(dy * dy + dx * dx) / (2 * (1.5 * sigs[s]) ** 2))
@@ -247,17 +300,18 @@ def _orientation(mag, ang, si, yi, xi, sigs):
         b = jnp.argmax(hist)
         return (b.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
 
-    ys = jnp.clip(yi, R, mag.shape[1] - R - 1)
-    xs = jnp.clip(xi, R, mag.shape[2] - R - 1)
-    return jax.vmap(one)(si, ys, xs)
+    ys = jnp.clip(yi, R, oh - R - 1)
+    xs = jnp.clip(xi, R, ow - R - 1)
+    return jax.vmap(one)(plane, si, ys, xs)
 
 
-def _descriptor(mag, ang, si, yi, xi, sigs, ori):
+def _descriptor(mag, ang, plane, si, yi, xi, sigs, ori, oh, ow):
     """4x4 spatial x 8 orientation SIFT-like descriptor from a rotated
-    16x16 sample grid (spacing ~ sigma), vmapped per keypoint."""
+    16x16 sample grid (spacing ~ sigma), vmapped per keypoint over the
+    flat padded pyramid (see _orientation)."""
     GRID = 16
 
-    def one(s, y, x, theta):
+    def one(p, s, y, x, theta, h, w):
         spacing = 0.75 * sigs[s]
         g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2) * spacing
         gy, gx = jnp.meshgrid(g, g, indexing="ij")
@@ -265,8 +319,8 @@ def _descriptor(mag, ang, si, yi, xi, sigs, ori):
         sx = x.astype(jnp.float32) + ct * gx - st * gy
         sy = y.astype(jnp.float32) + st * gx + ct * gy
 
-        m = _bilinear(mag[s], sy, sx)
-        a = _bilinear_angle(ang[s], sy, sx) - theta
+        m = _bilinear(mag, p, sy, sx, h, w)
+        a = _nearest_angle(ang, p, sy, sx, h, w) - theta
 
         # Gaussian weight over the window
         sig_w = GRID * spacing / 2.0
@@ -288,24 +342,24 @@ def _descriptor(mag, ang, si, yi, xi, sigs, ori):
         d = jnp.minimum(d, 0.2)
         return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
 
-    return jax.vmap(one)(si, yi, xi, ori)
+    return jax.vmap(one)(plane, si, yi, xi, ori, oh, ow)
 
 
-def _bilinear(img, sy, sx):
-    h, w = img.shape
+def _bilinear(img3, p, sy, sx, h, w):
+    """Bilinear sample of plane ``p`` of a (P, H0, W0) stack; ``h``/``w``
+    bound the valid (unpadded) region of that plane."""
     x0 = jnp.floor(sx); y0 = jnp.floor(sy)
     fx = sx - x0; fy = sy - y0
     x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
     y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
-    v00 = img[y0, x0]; v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]; v11 = img[y0 + 1, x0 + 1]
+    v00 = img3[p, y0, x0]; v01 = img3[p, y0, x0 + 1]
+    v10 = img3[p, y0 + 1, x0]; v11 = img3[p, y0 + 1, x0 + 1]
     return v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy) + v10 * (1 - fx) * fy + v11 * fx * fy
 
 
-def _bilinear_angle(img, sy, sx):
+def _nearest_angle(img3, p, sy, sx, h, w):
     """Nearest sampling for angles (interpolating angles across the wrap
     is wrong; NN is standard practice here)."""
-    h, w = img.shape
     x = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, h - 1)
-    return img[y, x]
+    return img3[p, y, x]

@@ -57,3 +57,22 @@ def test_cross_process_correctness(report):
 def test_it_was_really_multiprocess(report):
     assert report["processes"] >= 2
     assert "gloo" in report["backend"] or "tpu" in report["backend"]
+
+
+def test_oversubscribed_groups(report):
+    """Groups with more processes than physical cores (e.g. 4 procs on 2
+    cores): collectives must stay CORRECT, and weak scaling must reach
+    >= 80% of the time-slicing ceiling (cores/n) — the honest analog of
+    the >=0.8 target when each process cannot have its own core."""
+    for n in report.get("group_sizes", []):
+        ck = f"correctness_{n}proc"
+        ek = f"efficiency_{n}proc"
+        if ck not in report:
+            continue
+        c = report[ck]
+        assert c["tile_agreement_vs_single_device"] >= 0.995, (n, c)
+        assert c["evaldisp_psum_abs_diff"] < 1e-3, (n, c)
+        assert c["ba_cost_ratio"] < 0.1, (n, c)
+        e = report[ek]
+        assert e["matcher_data_weak"] >= 0.8 * e["core_ceiling"], (n, e)
+        assert e["ba_weak"] >= 0.8 * e["core_ceiling"], (n, e)

@@ -87,6 +87,20 @@ def main():
         return kp.descriptors[0, 0] + kp.xy[-1, 0]
     S["sift_one_image"] = marginal_ms(sift_body, "sift (one image)")
 
+    # 1b. detection only (pyramid + extrema + global top-K); the
+    # describe stage (ori/desc gathers on K winners) is the difference
+    from stereo_reconstruction_tpu.ops import features as feat
+
+    detect_jit = jax.jit(
+        lambda img: feat._detect(img, cfg.frontend))
+
+    def detect_body(i):
+        d = detect_jit(img_l + 0.25 * (1.0 + i.astype(jnp.float32)))
+        return d["xy"][0, 0] + d["mag"][0, 0, 0] + d["response"][-1]
+    S["sift_detect_only"] = marginal_ms(detect_body, "sift detect only")
+    S["sift_describe_est"] = round(
+        S["sift_one_image"] - S["sift_detect_only"], 2)
+
     # fixed keypoints for downstream stages
     kp_l = detect_and_describe(img_l, cfg.frontend)
     kp_r = detect_and_describe(img_r, cfg.frontend)
