@@ -20,4 +20,20 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Framework default: f32 matmuls/convs really run at f32. On TPU, JAX's
+# DEFAULT precision lowers them to bf16 passes, and this framework's
+# quality claims are parity claims — the pose chain amplifies bf16 noise
+# from the descriptor Gram into a bad F (Teddy e2e bad-2.0 83 vs 17
+# measured on v5e), and the perceptual/VGG path's notebook-exactness
+# breaks outright. Kernels that want bf16 (none of the quality-critical
+# ones do) opt in explicitly. Override: STPU_MATMUL_PRECISION=default.
+_jax.config.update(
+    "jax_default_matmul_precision",
+    _os.environ.get("STPU_MATMUL_PRECISION", "highest"),
+)
+
 from stereo_reconstruction_tpu.config import PipelineConfig  # noqa: F401

@@ -282,10 +282,15 @@ def _orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow):
     R = 8
 
     def one(p, s, y, x):
-        m = lax.dynamic_slice(
-            mag, (p, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
-        a = lax.dynamic_slice(
-            ang, (p, y - R, x - R), (1, 2 * R + 1, 2 * R + 1))[0]
+        # patch extraction as a gather (not dynamic_slice): vmapping this
+        # over keypoints (and over a pair/batch axis above) then lowers to
+        # one big gather — dynamic_slice under two vmap levels tripped a
+        # TPU backend RET_CHECK (regalloc live_range_finder) and is slower
+        ddy = jnp.arange(-R, R + 1)
+        yy = (y + ddy)[:, None]
+        xx = (x + ddy)[None, :]
+        m = mag[p, yy, xx]
+        a = ang[p, yy, xx]
         dy = jnp.arange(-R, R + 1, dtype=jnp.float32)[:, None]
         dx = jnp.arange(-R, R + 1, dtype=jnp.float32)[None, :]
         wgt = jnp.exp(-(dy * dy + dx * dx) / (2 * (1.5 * sigs[s]) ** 2))

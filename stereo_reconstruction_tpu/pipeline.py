@@ -72,26 +72,33 @@ def _pose_device(key, image_left, image_right, K_left, K_right,
     One host->device call instead of five (each call through the axon
     relay costs ~45 ms fixed latency), and no per-scene recompile (the
     valid-match count is a traced scalar, not a static shape)."""
-    # both images through ONE vmapped detector program: halves dispatch
-    # count and lets XLA schedule the two pyramids together (the SIFT
-    # stage dominates the pose program — baselines/pose_profile.json)
-    kp_pair = jax.vmap(
-        lambda img: detect_and_describe(img, config.frontend)
-    )(jnp.stack([image_left, image_right]))
-    kp_l = jax.tree.map(lambda x: x[0], kp_pair)
-    kp_r = jax.tree.map(lambda x: x[1], kp_pair)
-    matches = match_descriptors(kp_l, kp_r, config.frontend)
-    ml, mr, valid = matches_to_homogeneous(matches)
+    # The whole stage traces under HIGHEST matmul precision: on TPU the
+    # default lowers f32 matmuls/convs to bf16 passes, and the pose chain
+    # amplifies that noise catastrophically (descriptor Gram -> different
+    # matches -> F off at 1e-2 -> rectified scanlines curve -> dense
+    # matching degrades from bad-2.0 ~17 to ~83 on Teddy). The dense
+    # Pallas matcher pins its own precision; this pins the sparse stage.
+    with jax.default_matmul_precision("highest"):
+        # both images through ONE vmapped detector program: halves
+        # dispatch count and lets XLA schedule the two pyramids together
+        # (the SIFT stage dominates — baselines/pose_profile.json)
+        kp_pair = jax.vmap(
+            lambda img: detect_and_describe(img, config.frontend)
+        )(jnp.stack([image_left, image_right]))
+        kp_l = jax.tree.map(lambda x: x[0], kp_pair)
+        kp_r = jax.tree.map(lambda x: x[1], kp_pair)
+        matches = match_descriptors(kp_l, kp_r, config.frontend)
+        ml, mr, valid = matches_to_homogeneous(matches)
 
-    # compact valid matches to the front (stable: original order kept)
-    order = jnp.argsort(jnp.logical_not(valid), stable=True)
-    ml = ml[:, order]
-    mr = mr[:, order]
-    n_valid = jnp.sum(valid)
+        # compact valid matches to the front (stable: original order kept)
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        ml = ml[:, order]
+        mr = mr[:, order]
+        n_valid = jnp.sum(valid)
 
-    return estimate_pose_from_matches(
-        key, ml, mr, K_left, K_right, config, num_matches_valid=n_valid,
-    )
+        return estimate_pose_from_matches(
+            key, ml, mr, K_left, K_right, config, num_matches_valid=n_valid,
+        )
 
 
 def estimate_pose(pair: StereoPair, config: PipelineConfig, key=None) -> PoseEstimate:
