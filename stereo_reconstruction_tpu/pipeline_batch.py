@@ -41,7 +41,7 @@ from stereo_reconstruction_tpu.config import PipelineConfig
 from stereo_reconstruction_tpu.data.records import StereoPair, pad_to
 from stereo_reconstruction_tpu.ops import metrics as metrics_mod
 from stereo_reconstruction_tpu.ops.block_search import block_search_right
-from stereo_reconstruction_tpu.ops.warp import warp_perspective
+from stereo_reconstruction_tpu.ops.warp import warp_band, warp_perspective
 from stereo_reconstruction_tpu.pipeline import _pose_device
 from stereo_reconstruction_tpu.recon.disparity import (
     disparity_to_depth,
@@ -68,21 +68,30 @@ def _pose_batch(keys, left, right, K_left, K_right, config: PipelineConfig):
     )(keys, left, right, K_left, K_right)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "canvas", "out_shape"))
+@functools.partial(jax.jit, static_argnames=("config", "canvas", "out_shape",
+                                             "band"))
 def _dense_batch(left, right, H_left, H_right, K_right, pose_ok,
-                 config: PipelineConfig, canvas, out_shape):
+                 config: PipelineConfig, canvas, out_shape, band=None):
     eye = jnp.eye(3, dtype=jnp.float32)
+
+    def warp(img, h, shape, method):
+        # band = (dy, dx) static budget covering every pair in the batch:
+        # the gather-free shift-and-accumulate warp (ops/warp.py
+        # warp_band — TPU gathers cost ~2.6x the matcher itself);
+        # None -> general gather warp
+        if band is None:
+            return warp_perspective(img, h, shape, method=method)
+        return warp_band(img, h, shape, band[0], band[1], method=method)
 
     def one(l, r, hl, hr, k, ok):
         hl = jnp.where(ok, hl, eye)
         hr = jnp.where(ok, hr, eye)
-        rect_l = warp_perspective(l, hl, canvas, method="bilinear")
-        rect_r = warp_perspective(r, hr, canvas, method="bilinear")
+        rect_l = warp(l, hl, canvas, "bilinear")
+        rect_r = warp(r, hr, canvas, "bilinear")
         disp_rect = block_search_right(rect_l, rect_r, config.matcher)
         # NN back-warp of disparity VALUES (the reference's approximation,
         # rectification.cpp:70-88, corrected to the right-image H)
-        disp = warp_perspective(
-            disp_rect, jnp.linalg.inv(hr), out_shape, method="nearest")
+        disp = warp(disp_rect, jnp.linalg.inv(hr), out_shape, "nearest")
         disp_clean = remove_disparity_outliers(
             disp, config.recon.outlier_kernel,
             config.recon.outlier_front, config.recon.outlier_back)
@@ -163,10 +172,32 @@ def run_batch(
     timings["loop_zhang_host"] = time.perf_counter() - t0
 
     canvas = static_canvas((hmax, wmax), (hmax, wmax), config.rectify)
+
+    # static warp-band budget covering all three warps of every pair
+    # (see _dense_batch.warp); any pair exceeding the largest class
+    # drops the whole batch to the gather warp
+    from stereo_reconstruction_tpu.ops.warp import band_budget
+
+    budgets = []
+    for i in range(B):
+        if not pose_ok[i]:
+            continue
+        budgets.append(band_budget(Hl[i], canvas, (hmax, wmax)))
+        budgets.append(band_budget(Hr[i], canvas, (hmax, wmax)))
+        budgets.append(band_budget(
+            np.linalg.inv(np.asarray(Hr[i], np.float64)),
+            (hmax, wmax), canvas))
+    if budgets and all(b is not None for b in budgets):
+        band = (max(b[0] for b in budgets), max(b[1] for b in budgets))
+    elif budgets:
+        band = None
+    else:
+        band = (2, 2)                                   # all-identity batch
+
     t0 = time.perf_counter()
     disp, depth = _dense_batch(
         L, R, jnp.asarray(Hl), jnp.asarray(Hr), KR,
-        jnp.asarray(pose_ok), config, canvas, (hmax, wmax))
+        jnp.asarray(pose_ok), config, canvas, (hmax, wmax), band)
     disp_np = np.asarray(disp)
     depth_np = np.asarray(depth)
     timings["dense"] = time.perf_counter() - t0

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from stereo_reconstruction_tpu.config import RectifyConfig
-from stereo_reconstruction_tpu.ops.warp import transform_points, warp_perspective
+from stereo_reconstruction_tpu.ops.warp import (
+    band_budget,
+    transform_points,
+    warp_band,
+    warp_perspective,
+)
 from stereo_reconstruction_tpu.rectify.loop_zhang import (
     RectifyHomographies,
     loop_zhang_homographies,
@@ -70,8 +75,8 @@ def rectify_pair(
 
     Hl = jnp.asarray(homs.H_left, jnp.float32)
     Hr = jnp.asarray(homs.H_right, jnp.float32)
-    rect_left = warp_perspective(image_left, Hl, canvas, method="bilinear")
-    rect_right = warp_perspective(image_right, Hr, canvas, method="bilinear")
+    rect_left = _warp_auto(image_left, homs.H_left, Hl, canvas)
+    rect_right = _warp_auto(image_right, homs.H_right, Hr, canvas)
 
     ml = mr = None
     if matches_left is not None:
@@ -88,6 +93,19 @@ def rectify_pair(
     )
 
 
+def _warp_auto(image, H_host, H_dev, out_shape, method="bilinear"):
+    """Pick the gather-free band warp when the host-known homography
+    displaces pixels by only a small static band (the common case for
+    Loop-Zhang rectification), else the general gather warp. Same
+    results either way (ops/warp.py warp_band docstring)."""
+    budget = band_budget(np.asarray(H_host, np.float64), out_shape,
+                         image.shape[:2])
+    if budget is None:
+        return warp_perspective(image, H_dev, out_shape, method=method)
+    return warp_band(image, H_dev, out_shape, budget[0], budget[1],
+                     method=method)
+
+
 def disparity_to_original_frame(
     disparity_rect: jnp.ndarray,      # (Hc, Wc) disparity in rectified frame
     H: np.ndarray,                    # homography used for that image
@@ -99,8 +117,10 @@ def disparity_to_original_frame(
     rectification.cpp:70-88)."""
     Hu = compat_left_homography if compat_left_homography is not None else H
     # dst(p) = src(H p): warpPerspective with M = H^{-1}, i.e. inverse map H
-    return warp_perspective(
+    Hu = np.asarray(Hu, np.float64)
+    return _warp_auto(
         disparity_rect,
+        np.linalg.inv(Hu),
         jnp.linalg.inv(jnp.asarray(Hu, jnp.float32)),
         out_shape,
         method="nearest",

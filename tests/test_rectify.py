@@ -109,3 +109,45 @@ def test_rectify_pair_and_backwarp(rng):
     vals = np.asarray(back)
     assert np.isfinite(vals).all()
     assert (vals >= 0).all() and (vals <= 50.0).all()
+
+
+def test_warp_band_matches_gather_bilinear(rng):
+    """The gather-free band warp is exact bilinear: it must agree with the
+    general gather warp to float tolerance for any homography within its
+    band budget (ops/warp.py warp_band)."""
+    from stereo_reconstruction_tpu.ops.warp import band_budget, warp_band
+
+    img = rng.uniform(0, 255, (60, 80, 3)).astype(np.float32)
+    H = np.array([[1.02, 0.03, -2.5], [-0.02, 0.99, 3.2], [4e-5, -3e-5, 1.0]])
+    out = (64, 96)                      # canvas larger than the source
+    budget = band_budget(H, out, img.shape[:2])
+    assert budget is not None
+    want = np.asarray(warp_perspective(
+        jnp.asarray(img), jnp.asarray(H, np.float32), out))
+    got = np.asarray(warp_band(
+        jnp.asarray(img), jnp.asarray(H, np.float32), out, *budget))
+    assert np.abs(want - got).max() < 1e-3, np.abs(want - got).max()
+
+
+def test_warp_band_matches_gather_nearest(rng):
+    from stereo_reconstruction_tpu.ops.warp import band_budget, warp_band
+
+    img = rng.uniform(0, 100, (50, 70)).astype(np.float32)
+    H = np.array([[0.98, 0.04, 4.0], [0.01, 1.03, -3.0], [0.0, 0.0, 1.0]])
+    out = (60, 80)
+    budget = band_budget(H, out, img.shape)
+    assert budget is not None
+    want = np.asarray(warp_perspective(
+        jnp.asarray(img), jnp.asarray(H, np.float32), out, method="nearest"))
+    got = np.asarray(warp_band(
+        jnp.asarray(img), jnp.asarray(H, np.float32), out, *budget,
+        method="nearest"))
+    assert np.array_equal(want, got)
+
+
+def test_band_budget_rejects_large_displacement():
+    from stereo_reconstruction_tpu.ops.warp import band_budget
+
+    H = np.array([[1.0, 0.0, 300.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    # a 300-px shift of a source that stays visible exceeds every class
+    assert band_budget(H, (100, 400), (100, 400)) is None
