@@ -35,10 +35,23 @@ from jax import lax
 from stereo_reconstruction_tpu.config import OrbConfig
 from stereo_reconstruction_tpu.ops.features import (
     Keypoints,
-    _bilinear,
     gaussian_blur,
     rgb_to_gray,
 )
+
+
+def _bilinear(img, sy, sx):
+    """Bilinear sample of a single (H, W) plane (features._bilinear now
+    operates on the flat SIFT pyramid stack; rBRIEF samples one plane)."""
+    h, w = img.shape
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    fx = sx - x0; fy = sy - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    v00 = img[y0, x0]; v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]; v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 # FAST-16: the 16 (dy, dx) offsets of the radius-3 Bresenham circle, in
 # circular order (OpenCV's ordering starts at (0, 3) going clockwise).

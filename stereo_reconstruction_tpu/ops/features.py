@@ -48,26 +48,42 @@ def rgb_to_gray(image: jnp.ndarray) -> jnp.ndarray:
     return 0.299 * image[..., 0] + 0.587 * image[..., 1] + 0.114 * image[..., 2]
 
 
-def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+@functools.lru_cache(maxsize=256)
+def _blur_matrix(n: int, sigma: float):
+    """(n, n) banded-Toeplitz blur operator: row i holds the discrete
+    Gaussian taps for output i with reflect (BORDER_REFLECT_101) folding
+    at the edges. Built on host once per (length, sigma); baked into the
+    trace as a constant."""
+    import numpy as np
+
+    radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = (k / k.sum()).astype(np.float32)
+    B = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for t in range(-radius, radius + 1):
+        j = i + t
+        j = np.where(j < 0, -j, j)
+        j = np.where(j >= n, 2 * n - 2 - j, j)
+        np.add.at(B, (i, j), k[t + radius])
+    return B
 
 
 def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Separable Gaussian blur with reflect padding, (H, W) float32."""
-    radius = max(1, int(3.0 * sigma + 0.5))
-    k = _gaussian_kernel(sigma, radius)
-    pad = [(radius, radius), (0, 0)]
-    x = jnp.pad(img, pad, mode="reflect")
-    x = lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
-    x = jnp.pad(x, [(0, 0), (radius, radius)], mode="reflect")
-    x = lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
-    return x
+    """Separable Gaussian blur with reflect padding, (H, W) float32.
+
+    Lowered as two banded-Toeplitz MATMULS (B_v @ img @ B_h^T) instead of
+    1-D convolutions: tiny (1,1,H,W)-shaped convs lower pathologically on
+    TPU (the SIFT pyramid's 24 of them measured 50 ms of the 63 ms
+    frontend on v5e), while the same math as (H,H)/(W,W) matmuls rides
+    the MXU in microseconds. The matrices encode the identical discrete
+    kernel + reflect-101 folding, so results match the conv formulation
+    to f32 dot-order."""
+    h, w = img.shape
+    Bv = jnp.asarray(_blur_matrix(h, float(sigma)))
+    Bh = jnp.asarray(_blur_matrix(w, float(sigma)))
+    return (Bv @ img) @ Bh.T
 
 
 def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
@@ -81,6 +97,31 @@ def detect_and_describe(
 ) -> Keypoints:
     det = _detect(image, config)
     return _describe(det, config)
+
+
+def _build_pyramid(gray, config: FrontendConfig):
+    """Gaussian scale-space + DoG planes per octave: list of
+    (G (s+3, oh, ow), dog (s+2, oh, ow), sigmas)."""
+    s = config.scales_per_octave
+    sig0 = config.init_sigma
+    out = []
+    octave_img = gaussian_blur(gray, sig0)
+    for _octave in range(config.num_octaves):
+        oh, ow = octave_img.shape
+        # the orientation stage reads a 17x17 patch (R=8) — octaves
+        # smaller than that cannot host a keypoint
+        if oh < 17 or ow < 17:
+            break
+        sigmas = [sig0 * (2.0 ** (i / s)) for i in range(s + 3)]
+        gauss = [octave_img]
+        for i in range(1, s + 3):
+            # incremental blur: sigma_delta^2 = sig_i^2 - sig_{i-1}^2
+            delta = float((sigmas[i] ** 2 - sigmas[i - 1] ** 2) ** 0.5)
+            gauss.append(gaussian_blur(gauss[-1], delta))
+        G = jnp.stack(gauss)                          # (s+3, oh, ow)
+        out.append((G, G[1:] - G[:-1], sigmas))
+        octave_img = _downsample2(G[s])               # seed next octave
+    return out
 
 
 def _detect(image, config: FrontendConfig):
@@ -102,25 +143,10 @@ def _detect(image, config: FrontendConfig):
     # flat as (n_oct*s, H0, W0) so the winner gathers index one array.
     per_oct = []
     mags, angs, shapes = [], [], []
-    base = gaussian_blur(gray, sig0)
-    h0, w0 = base.shape
-    octave_img = base
-    for octave in range(config.num_octaves):
-        oh, ow = octave_img.shape
-        # the orientation stage slices a 17x17 patch (R=8) — octaves
-        # smaller than that cannot host a keypoint
-        if oh < 17 or ow < 17:
-            break
-        # scale stack: s+3 gaussian planes
-        sigmas = [sig0 * (2.0 ** (i / s)) for i in range(s + 3)]
-        gauss = [octave_img]
-        for i in range(1, s + 3):
-            # incremental blur: sigma_delta^2 = sig_i^2 - sig_{i-1}^2
-            delta = float((sigmas[i] ** 2 - sigmas[i - 1] ** 2) ** 0.5)
-            gauss.append(gaussian_blur(gauss[-1], delta))
-        G = jnp.stack(gauss)                          # (s+3, oh, ow)
-        dog = G[1:] - G[:-1]                           # (s+2, oh, ow)
-
+    pyr = _build_pyramid(gray, config)
+    h0, w0 = pyr[0][0].shape[1:]
+    for octave, (G, dog, sigmas) in enumerate(pyr):
+        oh, ow = G.shape[1:]
         cands = _octave_candidates(dog, sigmas, octave, config, K)
         per_oct.append(cands)
 
@@ -132,8 +158,6 @@ def _detect(image, config: FrontendConfig):
         mags.append(jnp.pad(jnp.sqrt(gx * gx + gy * gy), pad))
         angs.append(jnp.pad(jnp.arctan2(gy, gx), pad))
         shapes.append((oh, ow))
-
-        octave_img = _downsample2(G[s])               # seed next octave
 
     # merge octaves: concatenate candidate lists, take global top-K
     xy = jnp.concatenate([c[0] for c in per_oct])

@@ -101,6 +101,13 @@ def _dense_batch(left, right, H_left, H_right, K_right, pose_ok,
     return jax.vmap(one)(left, right, H_left, H_right, K_right, pose_ok)
 
 
+@jax.jit
+def _evaldisp_batch(disp, gt, mask, max_disp):
+    return jax.vmap(
+        lambda d, g, m, x: metrics_mod.evaldisp(d, g, m, 2.0, x)
+    )(disp, gt, mask, max_disp)
+
+
 def run_batch(
     pairs: Sequence[StereoPair],
     config: PipelineConfig = PipelineConfig(),
@@ -198,26 +205,28 @@ def run_batch(
     disp, depth = _dense_batch(
         L, R, jnp.asarray(Hl), jnp.asarray(Hr), KR,
         jnp.asarray(pose_ok), config, canvas, (hmax, wmax), band)
-    disp_np = np.asarray(disp)
-    depth_np = np.asarray(depth)
+    disp_np, depth_np = jax.device_get((disp, depth))   # one transfer
     timings["dense"] = time.perf_counter() - t0
 
-    metrics: List[Dict[str, float]] = []
-    for i, p in enumerate(padded):
-        m: Dict[str, float] = {
-            "pose_ok": float(pose_ok[i]),
-            "reproj_error_ba": float(err_ba[i]),
-        }
-        if p.disp_right_gt is not None and p.mask_right_nocc is not None:
-            ev = metrics_mod.evaldisp(
-                jnp.asarray(disp_np[i]),
-                jnp.asarray(p.disp_right_gt),
-                jnp.asarray(p.mask_right_nocc),
-                bad_thresh=2.0,
-                max_disp=float(p.ndisp or 1e9),
-            )
-            m.update({k: float(v) for k, v in ev.items()})
-        metrics.append(m)
+    metrics: List[Dict[str, float]] = [
+        {"pose_ok": float(pose_ok[i]), "reproj_error_ba": float(err_ba[i])}
+        for i in range(B)
+    ]
+    # score every pair with GT in ONE vmapped device call (a per-pair
+    # evaldisp dispatch costs a full relay round-trip each)
+    have_gt = [i for i, p in enumerate(padded)
+               if p.disp_right_gt is not None and p.mask_right_nocc is not None]
+    if have_gt:
+        ev = _evaldisp_batch(
+            jnp.asarray(disp_np[have_gt]),
+            jnp.stack([jnp.asarray(padded[i].disp_right_gt) for i in have_gt]),
+            jnp.stack([jnp.asarray(padded[i].mask_right_nocc) for i in have_gt]),
+            jnp.asarray([float(pairs[i].ndisp or 1e9) for i in have_gt],
+                        jnp.float32),
+        )
+        ev = {k: np.asarray(v) for k, v in ev.items()}
+        for j, i in enumerate(have_gt):
+            metrics[i].update({k: float(v[j]) for k, v in ev.items()})
 
     return BatchResult(
         disparity=disp_np,

@@ -101,6 +101,27 @@ def main():
     S["sift_describe_est"] = round(
         S["sift_one_image"] - S["sift_detect_only"], 2)
 
+    # 1c. pyramid alone (gaussian scale space + DoG)
+    pyr_jit = jax.jit(lambda img: feat._build_pyramid(
+        feat.rgb_to_gray(img) / 255.0, cfg.frontend))
+
+    def pyr_body(i):
+        p = pyr_jit(img_l + 0.25 * (1.0 + i.astype(jnp.float32)))
+        return sum(g[0, 0, 0] + d[-1, -1, -1] for g, d, _ in p)
+    S["sift_pyramid_only"] = marginal_ms(pyr_body, "sift pyramid only")
+
+    # 1d. the same three under HIGHEST matmul precision — what the fused
+    # pose program actually traces (quality-critical, pipeline.py)
+    def hp(body):
+        def wrapped(i):
+            with jax.default_matmul_precision("highest"):
+                return body(i)
+        return wrapped
+    S["sift_one_image_highest"] = marginal_ms(
+        hp(sift_body), "sift (highest prec)")
+    S["sift_pyramid_highest"] = marginal_ms(
+        hp(pyr_body), "pyramid (highest prec)")
+
     # fixed keypoints for downstream stages
     kp_l = detect_and_describe(img_l, cfg.frontend)
     kp_r = detect_and_describe(img_r, cfg.frontend)
