@@ -243,6 +243,44 @@ def main():
         extra["batch_pipeline_bad2_gt"] = round(
             float(bres.metrics[0].get("bad_percent", -1.0)), 3)
 
+        # metrics + disparity only (no depth-map download): the scoring/
+        # eval consumption pattern
+        run_batch(batch, pcfg, fetch_depth=False)
+        t0 = time.perf_counter()
+        run_batch(batch, pcfg, fetch_depth=False)
+        extra["batch_pipeline_pairs_per_s_nodepth"] = round(
+            B / (time.perf_counter() - t0), 3)
+
+        # steady-state: K batches through the software-pipelined runner
+        # (uploads/downloads overlap device compute — pipeline_batch.
+        # run_batches); marginal = (T_K - T_1) / (K - 1)
+        from stereo_reconstruction_tpu.pipeline_batch import run_batches
+
+        KB = 4
+
+        def perturbed(k):
+            # distinct pixel values per batch (the relay dedupes identical
+            # executions); +0.25k keeps values f16-exact for the compact
+            # upload path
+            return [dataclasses.replace(
+                qpair,
+                image_left=np.asarray(qpair.image_left, np.float32) + 0.25 * k,
+                image_right=np.asarray(qpair.image_right, np.float32) + 0.25 * k,
+            )] * B
+
+        run_batches([perturbed(k) for k in range(KB)], pcfg,
+                    fetch_depth=False)                        # warm all
+        t0 = time.perf_counter()
+        run_batches([perturbed(KB)], pcfg, fetch_depth=False)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_batches([perturbed(KB + 1 + k) for k in range(KB)], pcfg,
+                    fetch_depth=False)
+        tK = time.perf_counter() - t0
+        if tK > t1:
+            extra["batch_pipeline_pairs_per_s_steady"] = round(
+                (KB - 1) * B / (tK - t1), 3)
+
     print(
         json.dumps(
             {

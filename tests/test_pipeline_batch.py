@@ -75,3 +75,21 @@ def test_batch_sharded_over_data_mesh(teddy_ds2, cfg):
     mismatch = float((res_m.disparity != res_s.disparity).mean())
     assert mismatch < 1e-3, f"{mismatch:.2%} pixels differ"
     assert res_m.pose_ok.all()
+
+
+def test_run_batches_pipelined_matches_run_batch(teddy_ds2, cfg):
+    """The software-pipelined multi-batch runner must produce the same
+    results as sequential run_batch calls with fold_in(key, i) keys."""
+    import jax
+
+    from stereo_reconstruction_tpu.pipeline_batch import run_batches
+
+    batches = [[teddy_ds2], [teddy_ds2, teddy_ds2]]
+    piped = run_batches(batches, cfg, fetch_depth=False)
+    key = jax.random.key(cfg.seed)
+    for i, batch in enumerate(batches):
+        seq = run_batch(batch, cfg, key=jax.random.fold_in(key, i))
+        assert np.array_equal(piped[i].disparity, seq.disparity)
+        assert piped[i].depth is None and seq.depth is not None
+        for m_p, m_s in zip(piped[i].metrics, seq.metrics):
+            assert m_p["bad_percent"] == m_s["bad_percent"]
