@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
 """Benchmark: rectified pairs/s/chip on the dense matcher path.
 
-Prints ONE JSON line:
+Prints a cumulative JSON line after EVERY completed section (the last
+line is the most complete; each line is a full, valid record):
   {"metric": "rectified_pairs_per_s_per_chip", "value": N, "unit": "pairs/s",
    "vs_baseline": R, "extra": {...}}
 
 Headline: steady-state throughput of the dense rectified matching step
 (Pallas cost volume + exact smoothness argmin) with the reference's
-matcher settings (block 17, smoothing 0.9; main.cpp:40) on the real Teddy
-pair at the BASELINE north-star evaluation resolution (trainingQ =
+matcher settings (block 17, smoothing 0.9; src/main.cpp:40) on the real
+Teddy pair at the BASELINE north-star evaluation resolution (trainingQ =
 quarter res, D=100), batch 8 (single chip). ``--full`` benches half
 resolution / D=200 instead (a different config — the two headline values
 are not comparable; the config name is recorded in extra.config). The
@@ -16,17 +17,39 @@ baseline divisor is the BASELINE.json north-star target of 50
 pairs/s/chip. Quality (bad-2.0 vs the exact reference-semantics oracle on
 a crop) guards against fast-but-wrong kernels.
 
+Evidence-first design (round-3 lesson: BENCH_r03 rc=124, zero numbers):
+  * sections run cheapest-compile first and each one re-prints the full
+    record as soon as it lands, so an external timeout can only truncate
+    the tail, never erase the headline;
+  * the matcher loop takes its trip count as a TRACED argument
+    (lax.fori_loop with a dynamic bound), so K=1 and K=5 share ONE
+    compiled program — halving the heaviest compile;
+  * each later section has a wall-clock budget derived from the measured
+    matcher compile time (cold cache => conservative estimates) and is
+    skipped with a recorded reason when the budget doesn't cover it;
+  * the steady-state batched number is ALWAYS recorded — when timing
+    noise makes the marginal unmeasurable a noise flag is set instead of
+    silently dropping the metric.
+
 Timing notes (axon relay): each host->TPU call through the relay costs
 ~45 ms of fixed latency and identical executions are deduped remotely, so
 per-call wall clock measures the relay, not the chip. The bench therefore
-runs K batched matcher steps INSIDE one jit (inputs perturbed per step so
-nothing folds), times K=1 vs K=5, and reports the marginal per-step
-device time — the steady-state throughput a pipelined producer sees.
-extra.ms_per_pair_single_call records the old per-call number (incl.
-relay) for comparability with round-1 records.
+runs K batched matcher steps INSIDE one jit (inputs perturbed per step
+AND per rep so nothing folds or dedupes), times K=1 vs K=5, and reports
+the marginal per-step device time — the steady-state throughput a
+pipelined producer sees. extra.ms_per_pair_single_call records the
+per-call number (incl. relay) for comparability with round-1 records.
+
+MXU utilization (extra.measured_mxu) is *measured*, not hand-modeled:
+useful FLOPs are the XLA compiler's own cost analysis of the identical
+matcher step lowered through the pure-XLA backend (the Pallas kernel is
+a custom call the cost model can't see through; the XLA variant computes
+the same values), divided by the measured marginal step time and the
+chip's bf16 peak.
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -35,9 +58,62 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 TARGET_PAIRS_PER_S = 50.0  # BASELINE.json north_star
 DATA_ROOT = "/root/reference/data/MiddEval3"
+V5E_PEAK_BF16 = 197e12
+
+
+class Reporter:
+    """Cumulative record; every flush prints one full JSON line."""
+
+    def __init__(self, budget_s: float):
+        self.t0 = time.perf_counter()
+        self.budget = budget_s
+        self.extra = {"sections": {}}
+        self.value = 0.0
+
+    def elapsed(self):
+        return time.perf_counter() - self.t0
+
+    def remaining(self):
+        return self.budget - self.elapsed()
+
+    def flush(self):
+        self.extra["bench_elapsed_s"] = round(self.elapsed(), 1)
+        print(json.dumps({
+            "metric": "rectified_pairs_per_s_per_chip",
+            "value": round(self.value, 4),
+            "unit": "pairs/s",
+            "vs_baseline": round(self.value / TARGET_PAIRS_PER_S, 4),
+            "extra": self.extra,
+        }), flush=True)
+
+    def section(self, name, fn, est_s=0.0, required=False):
+        """Run one bench section. Skips (with a recorded reason) when the
+        remaining budget doesn't cover ``est_s``; records failures instead
+        of propagating so later sections still run. Flushes after."""
+        secs = self.extra["sections"]
+        if not required and est_s > self.remaining():
+            secs[name] = {"status": "skipped",
+                          "reason": f"budget: est {est_s:.0f}s > "
+                                    f"remaining {self.remaining():.0f}s"}
+            self.flush()
+            return False
+        t0 = time.perf_counter()
+        try:
+            fn()
+            secs[name] = {"status": "ok",
+                          "seconds": round(time.perf_counter() - t0, 1)}
+            ok = True
+        except Exception as e:  # noqa: BLE001 — evidence over purity
+            secs[name] = {"status": "error",
+                          "seconds": round(time.perf_counter() - t0, 1),
+                          "error": f"{type(e).__name__}: {e}"[:200]}
+            ok = False
+        self.flush()
+        return ok
 
 
 def main():
@@ -53,16 +129,18 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--loop", type=int, default=5,
                     help="in-jit matcher steps for steady-state timing")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
+                    help="total wall-clock budget (s); later sections are "
+                         "skipped with a reason when it runs out")
     ap.add_argument("--skip-pipeline", action="store_true",
-                    help="skip the end-to-end pipeline measurement")
+                    help="skip the end-to-end pipeline measurements")
     ap.add_argument("--profile", action="store_true",
-                    help="capture a jax.profiler trace of the matcher loop "
-                         "(best-effort through the relay) and record the "
-                         "kernel's modeled MXU throughput/utilization")
+                    help="also capture a jax.profiler trace of the matcher "
+                         "loop (best-effort through the relay)")
     args = ap.parse_args()
     if args.quick and args.full:
         ap.error("--quick and --full are mutually exclusive")
-
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
 
@@ -71,31 +149,41 @@ def main():
     from jax import lax
 
     from stereo_reconstruction_tpu.config import MatcherConfig
-    from stereo_reconstruction_tpu.data import MiddEval3
-    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
     from stereo_reconstruction_tpu.ops.block_search import block_search_right
     from stereo_reconstruction_tpu.ops.metrics import evaldisp
     from stereo_reconstruction_tpu import oracle
 
+    rep = Reporter(args.budget)
     dev = jax.devices()[0]
-    platform = dev.platform
+    rep.extra["platform"] = dev.platform
 
-    pair = None
-    if os.path.isdir(DATA_ROOT):
-        pair = MiddEval3(DATA_ROOT).load_training(13)  # Teddy (has real GT)
-        if not args.full:
-            qpair = downsample_pair(pair)  # trainingQ, the north-star eval res
-            L = np.asarray(qpair.image_left, np.uint8)
-            R = np.asarray(qpair.image_right, np.uint8)
+    # ---------------------------------------------------------------- load
+    state = {}
+
+    def sec_load():
+        pair = None
+        if os.path.isdir(DATA_ROOT):
+            from stereo_reconstruction_tpu.data import MiddEval3
+            from stereo_reconstruction_tpu.data.middeval3 import \
+                downsample_pair
+            pair = MiddEval3(DATA_ROOT).load_training(13)  # Teddy (real GT)
+            if not args.full:
+                qpair = downsample_pair(pair)   # trainingQ, north-star res
+                L = np.asarray(qpair.image_left, np.uint8)
+                R = np.asarray(qpair.image_right, np.uint8)
+            else:
+                qpair = None
+                L = np.asarray(pair.image_left, np.uint8)[::2, ::2]
+                R = np.asarray(pair.image_right, np.uint8)[::2, ::2]
         else:
-            L = np.asarray(pair.image_left, np.uint8)[::2, ::2]
-            R = np.asarray(pair.image_right, np.uint8)[::2, ::2]
-    else:
-        rng = np.random.default_rng(0)
-        L = rng.integers(1, 255, (750, 900, 3), np.uint8)
-        R = rng.integers(1, 255, (750, 900, 3), np.uint8)
+            rng = np.random.default_rng(0)
+            qpair = None
+            L = rng.integers(1, 255, (750, 900, 3), np.uint8)
+            R = rng.integers(1, 255, (750, 900, 3), np.uint8)
+        state.update(pair=pair, qpair=qpair, L=L, R=R)
 
-    config_name = "half_D200" if args.full else "trainingQ_D100"
+    rep.section("load", sec_load, required=True)
+    L, R = state["L"], state["R"]
     h, w = R.shape[:2]
     cfg = MatcherConfig(
         block_size=17,
@@ -105,167 +193,194 @@ def main():
         row_smooth_iters=2,
         backend=args.backend,
     )
-
     B = args.batch
-    Lb = jax.device_put(jnp.stack([jnp.asarray(L, jnp.float32)] * B), dev)
-    Rb = jax.device_put(jnp.stack([jnp.asarray(R, jnp.float32)] * B), dev)
-
-    step = jax.vmap(lambda l, r: block_search_right(l, r, cfg))
-
-    def looped(k):
-        def body(i, acc):
-            d = step(Lb + 0.25 * (1.0 + i.astype(jnp.float32)), Rb)
-            return acc + d[0, 0, 0] + d[-1, -1, -1]
-        return jax.jit(lambda: lax.fori_loop(0, k, body, jnp.float32(0.0)))
-
-    f1, fK = looped(1), looped(args.loop)
-    t0 = time.perf_counter()
-    _ = float(f1())
-    compile_s = time.perf_counter() - t0
-    _ = float(fK())
-
-    t1s, tKs = [], []
-    for _i in range(args.reps):
-        t0 = time.perf_counter(); _ = float(f1()); t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); _ = float(fK()); tKs.append(time.perf_counter() - t0)
-    per_step = (min(tKs) - min(t1s)) / (args.loop - 1)
-    per_pair = per_step / B
-    pairs_per_s = 1.0 / per_pair
-    single_call_ms_per_pair = min(t1s) / B * 1000
-
-    # quality guard vs the exact reference-semantics oracle on a crop
-    crop = (slice(100, 180), slice(100, 356))
-    Lc, Rc = L[crop], R[crop]
-    disp_crop = np.asarray(
-        block_search_right(
-            jnp.asarray(Lc), jnp.asarray(Rc),
-            MatcherConfig(block_size=17, max_disparity=48, smooth_factor=0.9,
-                          row_smooth_iters=2, backend=args.backend),
-        )
-    )
-    ref_crop = oracle.block_search_right_fast(Lc, Rc, 17, 0, 48, 0.9)
-    m = evaldisp(
-        jnp.asarray(disp_crop),
-        jnp.asarray(ref_crop.astype(np.float32)),
-        jnp.asarray(np.where(ref_crop > 0, 255, 0).astype(np.uint8)),
-        bad_thresh=2.0,
-    )
-    exact_agree = float((disp_crop == ref_crop).mean())
-
-    if args.profile:
-        # modeled kernel arithmetic (ops/pallas_cost_volume.py shapes) vs
-        # the measured marginal step time -> achieved TFLOP/s and MXU
-        # utilization. The banded-matmul window sum dominates: per
-        # (band, W-tile, 16-disparity group) one (128, Wbw) @ (Wbw, Wout)
-        # MXU matmul; Precision.HIGHEST multiplies the MXU passes by 6.
-        # VPU work (squared diffs + vertical doubling tree) is counted
-        # separately. Peak: TPU v5e ~197 bf16 TFLOP/s/chip.
-        bs = cfg.block_size
-        hbs = (bs - 1) // 2
-        hw = 2 * hbs
-        D = cfg.max_disparity - cfg.min_disparity
-        H8 = -(-h // 8)
-        Wout = min(w + (-w) % 128, 512)
-        Wn = -(-(w + (-w) % 128) // Wout)
-        Wbw = Wout + hw + (-hw) % 128
-        groups = -(-D // 16)
-        passes = 6  # Precision.HIGHEST
-        mxu_flops = H8 * Wn * groups * 2 * 128 * Wbw * Wout * passes
-        band_rows = 8 + hw
-        vpu_flops = H8 * Wn * D * band_rows * Wbw * (3 * 3 + 5)
-        peak = 197e12
-        achieved = mxu_flops / per_pair
-        profile_extra = {
-            "mxu_model_flops_per_pair": mxu_flops,
-            "vpu_model_flops_per_pair": vpu_flops,
-            "mxu_achieved_tflops": round(achieved / 1e12, 1),
-            "mxu_utilization_pct_of_v5e_peak": round(100 * achieved / peak, 1),
-            "precision_passes": passes,
-        }
-        try:
-            trace_dir = "/tmp/stpu_trace"
-            with jax.profiler.trace(trace_dir):
-                _ = float(fK())
-            profile_extra["trace_dir"] = trace_dir
-        except Exception as e:  # the relay may not support profiling
-            profile_extra["trace_error"] = str(e)[:120]
-
-    extra = {
-        "platform": platform,
-        "config": config_name,
+    rep.extra.update({
+        "config": "half_D200" if args.full else "trainingQ_D100",
         "backend": cfg.backend,
         "image": f"{h}x{w}",
         "batch": B,
         "max_disparity": cfg.max_disparity,
-        "ms_per_pair": round(per_pair * 1000, 3),
-        "ms_per_pair_single_call": round(single_call_ms_per_pair, 2),
-        "compile_seconds": round(compile_s, 2),
-        "bad2_vs_reference_oracle_crop": round(float(m["bad_percent"]), 4),
-        "oracle_exact_agreement_crop": round(exact_agree, 5),
-    }
-    if args.profile:
-        extra["profile"] = profile_extra
+    })
 
-    # end-to-end pipeline (pose -> rectify -> match -> recon), one pair
-    if pair is not None and not args.full and not args.skip_pipeline:
-        import dataclasses
+    # ------------------------------------------------- matcher (headline)
+    Lb = jax.device_put(jnp.stack([jnp.asarray(L, jnp.float32)] * B), dev)
+    Rb = jax.device_put(jnp.stack([jnp.asarray(R, jnp.float32)] * B), dev)
+    step = jax.vmap(lambda l, r: block_search_right(l, r, cfg))
+
+    # ONE compiled program serves every K: the trip count is traced, and
+    # the per-rep `off` perturbation defeats the relay's dedup cache.
+    @jax.jit
+    def looped(k, off):
+        def body(i, acc):
+            d = step(Lb + off + 0.25 * (1.0 + i.astype(jnp.float32)), Rb)
+            return acc + d[0, 0, 0] + d[-1, -1, -1]
+        return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def sec_matcher_compile():
+        t0 = time.perf_counter()
+        _ = float(looped(1, jnp.float32(-7.0)))
+        compile_s = time.perf_counter() - t0
+        rep.extra["compile_seconds"] = round(compile_s, 2)
+        state["compile_s"] = compile_s
+        # provisional headline from one timed single call (incl. relay)
+        t0 = time.perf_counter()
+        _ = float(looped(1, jnp.float32(-6.0)))
+        t1 = time.perf_counter() - t0
+        rep.extra["ms_per_pair_single_call"] = round(t1 / B * 1000, 2)
+        rep.value = B / t1
+        rep.extra["headline_kind"] = "single_call_provisional"
+
+    rep.section("matcher_compile", sec_matcher_compile, required=True)
+
+    def sec_matcher_steady():
+        K = args.loop
+        _ = float(looped(K, jnp.float32(-5.0)))      # warm K-path
+        t1s, tKs = [], []
+        for i in range(args.reps):
+            off = jnp.float32(17.0 * (i + 1))
+            t0 = time.perf_counter()
+            _ = float(looped(1, off))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = float(looped(K, off + 1000.0))
+            tKs.append(time.perf_counter() - t0)
+        per_step = (min(tKs) - min(t1s)) / (K - 1)
+        per_pair = per_step / B
+        state["per_pair"] = per_pair
+        rep.extra["ms_per_pair"] = round(per_pair * 1000, 3)
+        rep.extra["ms_per_pair_single_call"] = round(
+            min(t1s) / B * 1000, 2)
+        rep.value = 1.0 / per_pair
+        rep.extra["headline_kind"] = "steady_state_marginal"
+
+    rep.section("matcher_steady", sec_matcher_steady, required=True)
+    cold = state.get("compile_s", 0.0) > 60.0
+
+    # --------------------------------- measured MXU utilization (r2 item 9)
+    def sec_mxu():
+        xcfg = dataclasses.replace(cfg, backend="xla")
+        one = jax.jit(lambda l, r: block_search_right(l, r, xcfg))
+        lowered = one.lower(
+            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+            jax.ShapeDtypeStruct((h, w, 3), jnp.float32))
+        ca, source = None, None
+        try:
+            ca = lowered.cost_analysis()
+            source = "lowered.cost_analysis"
+        except Exception:
+            cpu_lowered = jax.jit(
+                lambda l, r: block_search_right(l, r, xcfg),
+                backend="cpu").lower(
+                jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
+                jax.ShapeDtypeStruct((h, w, 3), jnp.float32))
+            ca = cpu_lowered.cost_analysis()
+            source = "cpu lowered.cost_analysis"
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        per_pair = state["per_pair"]
+        achieved = flops / per_pair
+        rep.extra["measured_mxu"] = {
+            "xla_counted_flops_per_pair": flops,
+            "measured_s_per_pair": round(per_pair, 6),
+            "achieved_useful_tflops": round(achieved / 1e12, 2),
+            "pct_of_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16, 2),
+            "flops_source": source,
+            "note": "useful FLOPs = XLA cost model of the identical "
+                    "matcher step on the pure-XLA backend (the Pallas "
+                    "custom call is opaque to the cost model); time = "
+                    "measured marginal step time of the production path",
+        }
+
+    rep.section("mxu_measured", sec_mxu, est_s=30 if cold else 10)
+
+    # -------------------------------------------------------- quality gate
+    def sec_quality():
+        crop = (slice(100, 180), slice(100, 356))
+        Lc, Rc = L[crop], R[crop]
+        disp_crop = np.asarray(block_search_right(
+            jnp.asarray(Lc), jnp.asarray(Rc),
+            MatcherConfig(block_size=17, max_disparity=48, smooth_factor=0.9,
+                          row_smooth_iters=2, backend=args.backend)))
+        ref_crop = oracle.block_search_right_fast(Lc, Rc, 17, 0, 48, 0.9)
+        m = evaldisp(
+            jnp.asarray(disp_crop),
+            jnp.asarray(ref_crop.astype(np.float32)),
+            jnp.asarray(np.where(ref_crop > 0, 255, 0).astype(np.uint8)),
+            bad_thresh=2.0)
+        rep.extra["bad2_vs_reference_oracle_crop"] = round(
+            float(m["bad_percent"]), 4)
+        rep.extra["oracle_exact_agreement_crop"] = round(
+            float((disp_crop == ref_crop).mean()), 5)
+
+    rep.section("quality_guard", sec_quality, est_s=120 if cold else 20)
+
+    # ------------------------------------------- end-to-end pipeline (1 pair)
+    qpair = state.get("qpair")
+    pipeline_ok = (qpair is not None and not args.full
+                   and not args.skip_pipeline)
+    pcfg = None
+    if pipeline_ok:
         from stereo_reconstruction_tpu.config import PipelineConfig
-        from stereo_reconstruction_tpu.pipeline import run_pair
-
         pcfg = PipelineConfig()
         pcfg = pcfg.replace(
             matcher=dataclasses.replace(pcfg.matcher, max_disparity=100,
                                         backend=args.backend),
             recon=dataclasses.replace(pcfg.recon, outlier_kernel=251),
         )
-        res = run_pair(qpair, pcfg)          # compile pass
+
+    def sec_full_pipeline():
+        from stereo_reconstruction_tpu.pipeline import run_pair
+        run_pair(qpair, pcfg)                # compile pass
         res = run_pair(qpair, pcfg)          # warm pass
         total = sum(res.timings.values())
-        extra["full_pipeline_s"] = round(total, 3)
-        extra["full_pipeline_pairs_per_s"] = round(1.0 / total, 3)
-        extra["full_pipeline_stages_ms"] = {
-            k: round(v * 1000, 1) for k, v in res.timings.items()
-        }
+        rep.extra["full_pipeline_s"] = round(total, 3)
+        rep.extra["full_pipeline_pairs_per_s"] = round(1.0 / total, 3)
+        rep.extra["full_pipeline_stages_ms"] = {
+            k: round(v * 1000, 1) for k, v in res.timings.items()}
 
-        # batched end-to-end (pipeline_batch.py): B pairs through two
-        # device programs — the production multi-scene path
+    if pipeline_ok:
+        rep.section("full_pipeline", sec_full_pipeline,
+                    est_s=300 if cold else 40)
+
+    # ------------------------------------- batched pipeline (B pairs, 2 progs)
+    def sec_batch_pipeline():
         from stereo_reconstruction_tpu.pipeline_batch import run_batch
-
         batch = [qpair] * B
         run_batch(batch, pcfg)               # compile pass
         t0 = time.perf_counter()
         bres = run_batch(batch, pcfg)        # warm pass
         bt = time.perf_counter() - t0
-        extra["batch_pipeline_pairs_per_s"] = round(B / bt, 3)
-        extra["batch_pipeline_stages_ms"] = {
-            k: round(v * 1000, 1) for k, v in bres.timings.items()
-        }
-        extra["batch_pipeline_bad2_gt"] = round(
+        rep.extra["batch_pipeline_pairs_per_s"] = round(B / bt, 3)
+        rep.extra["batch_pipeline_stages_ms"] = {
+            k: round(v * 1000, 1) for k, v in bres.timings.items()}
+        rep.extra["batch_pipeline_bad2_gt"] = round(
             float(bres.metrics[0].get("bad_percent", -1.0)), 3)
-
-        # metrics + disparity only (no depth-map download): the scoring/
-        # eval consumption pattern
+        rep.flush()
+        # metrics + disparity only (no depth download): the scoring path
         run_batch(batch, pcfg, fetch_depth=False)
         t0 = time.perf_counter()
         run_batch(batch, pcfg, fetch_depth=False)
-        extra["batch_pipeline_pairs_per_s_nodepth"] = round(
+        rep.extra["batch_pipeline_pairs_per_s_nodepth"] = round(
             B / (time.perf_counter() - t0), 3)
 
-        # steady-state: K batches through the software-pipelined runner
-        # (uploads/downloads overlap device compute — pipeline_batch.
-        # run_batches); marginal = (T_K - T_1) / (K - 1)
-        from stereo_reconstruction_tpu.pipeline_batch import run_batches
+    if pipeline_ok:
+        rep.section("batch_pipeline", sec_batch_pipeline,
+                    est_s=300 if cold else 40)
 
+    # ----------------------- steady-state software-pipelined batch stream
+    def sec_steady_batches():
+        from stereo_reconstruction_tpu.pipeline_batch import run_batches
         KB = 4
 
         def perturbed(k):
-            # distinct pixel values per batch (the relay dedupes identical
-            # executions); +0.25k keeps values f16-exact for the compact
-            # upload path
+            # distinct pixels per batch (the relay dedupes identical
+            # executions); +0.25k stays f16-exact for the compact upload
             return [dataclasses.replace(
                 qpair,
                 image_left=np.asarray(qpair.image_left, np.float32) + 0.25 * k,
-                image_right=np.asarray(qpair.image_right, np.float32) + 0.25 * k,
+                image_right=np.asarray(qpair.image_right, np.float32)
+                + 0.25 * k,
             )] * B
 
         run_batches([perturbed(k) for k in range(KB)], pcfg,
@@ -277,21 +392,34 @@ def main():
         run_batches([perturbed(KB + 1 + k) for k in range(KB)], pcfg,
                     fetch_depth=False)
         tK = time.perf_counter() - t0
+        # ALWAYS record (r3 weakness 6): marginal when measurable, else
+        # the absolute K-batch throughput with an explicit noise flag.
         if tK > t1:
-            extra["batch_pipeline_pairs_per_s_steady"] = round(
+            rep.extra["batch_pipeline_pairs_per_s_steady"] = round(
                 (KB - 1) * B / (tK - t1), 3)
+            rep.extra["steady_timing_noise"] = False
+        else:
+            rep.extra["batch_pipeline_pairs_per_s_steady"] = round(
+                KB * B / tK, 3)
+            rep.extra["steady_timing_noise"] = True
+        rep.extra["steady_raw_s"] = {"t_1batch": round(t1, 3),
+                                     "t_4batch": round(tK, 3)}
 
-    print(
-        json.dumps(
-            {
-                "metric": "rectified_pairs_per_s_per_chip",
-                "value": round(pairs_per_s, 4),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_s / TARGET_PAIRS_PER_S, 4),
-                "extra": extra,
-            }
-        )
-    )
+    if pipeline_ok:
+        rep.section("steady_batches", sec_steady_batches,
+                    est_s=60 if cold else 30)
+
+    # ------------------------------------------------------------- profile
+    def sec_profile():
+        trace_dir = "/tmp/stpu_trace"
+        with jax.profiler.trace(trace_dir):
+            _ = float(looped(args.loop, jnp.float32(99.0)))
+        rep.extra["trace_dir"] = trace_dir
+
+    if args.profile:
+        rep.section("profile_trace", sec_profile, est_s=30)
+
+    rep.flush()
 
 
 if __name__ == "__main__":

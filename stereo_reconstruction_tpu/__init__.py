@@ -31,9 +31,14 @@ import jax as _jax
 # measured on v5e), and the perceptual/VGG path's notebook-exactness
 # breaks outright. Kernels that want bf16 (none of the quality-critical
 # ones do) opt in explicitly. Override: STPU_MATMUL_PRECISION=default.
-_jax.config.update(
-    "jax_default_matmul_precision",
-    _os.environ.get("STPU_MATMUL_PRECISION", "highest"),
-)
+# Deference: if the embedding process already configured
+# jax_default_matmul_precision (flag/env/config), importing this package
+# leaves that choice alone — only the quality-critical pipeline entry
+# points then re-pin locally via their context managers (pipeline.py).
+if _os.environ.get("STPU_MATMUL_PRECISION"):
+    _jax.config.update("jax_default_matmul_precision",
+                       _os.environ["STPU_MATMUL_PRECISION"])
+elif _jax.config.jax_default_matmul_precision is None:
+    _jax.config.update("jax_default_matmul_precision", "highest")
 
 from stereo_reconstruction_tpu.config import PipelineConfig  # noqa: F401

@@ -127,8 +127,10 @@ def _dense_batch(left, right, H_left, H_right, K_right, pose_ok,
         depth = disparity_to_depth(disp_clean, k[0, 0], config.recon.baseline)
         # disparities are integer-valued (argmin indices through an exact
         # NN back-warp) well inside int16 range: ship 2 bytes/px over the
-        # relay instead of 4, exactly
-        return disp, disp.astype(jnp.int16), depth
+        # relay instead of 4, exactly. rint (not truncation) so a future
+        # subpixel matcher rounds instead of silently diverging from the
+        # f32 disparity the on-device metrics score.
+        return disp, jnp.rint(disp).astype(jnp.int16), depth
 
     return jax.vmap(one)(left, right, H_left, H_right, K_right, pose_ok)
 
@@ -357,6 +359,8 @@ def run_batches(
     are identical to calling ``run_batch`` per batch with keys
     ``fold_in(key, batch_index)``.
     """
+    if not batches:
+        return []
     key = jax.random.key(config.seed) if key is None else key
     n = len(batches)
     sts: List[Optional[_Staged]] = [None] * n

@@ -88,7 +88,7 @@ ok = jnp.ones((B,), bool)
 def dense_call(eps):
     L = jnp.stack([jnp.asarray(Lnp + eps)] * B)
     R = jnp.stack([jnp.asarray(Rnp)] * B)
-    d, z = _dense_batch(L, R, Hb, Hb, KR, ok, cfg, canvas, (hmax, wmax), (4, 4))
+    d, _, z = _dense_batch(L, R, Hb, Hb, KR, ok, cfg, canvas, (hmax, wmax), (4, 4))
     jax.block_until_ready((d, z))
     return d, z
 out["dense_batch8_compute"] = timeit(dense_call, "dense batch8 compute")
