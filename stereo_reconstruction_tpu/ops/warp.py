@@ -105,35 +105,150 @@ def _source_coords(Hinv, h_out, w_out):
     return sx, sy
 
 
+def _clip_halfplane(poly, A, B, C):
+    """Sutherland-Hodgman step: keep the part of convex ``poly`` (list of
+    (x, y), ordered) where A*x + B*y + C >= 0."""
+    res = []
+    n = len(poly)
+    for i in range(n):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % n]
+        fp = A * px + B * py + C
+        fq = A * qx + B * qy + C
+        if fp >= 0:
+            res.append((px, py))
+        if (fp < 0) != (fq < 0):
+            t = fp / (fp - fq)
+            res.append((px + t * (qx - px), py + t * (qy - py)))
+    return res
+
+
+def _point_in_convex(x, y, poly, tol=1e-9):
+    sign = 0
+    n = len(poly)
+    for i in range(n):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % n]
+        cr = (qx - px) * (y - py) - (qy - py) * (x - px)
+        if abs(cr) <= tol:
+            continue
+        s = 1 if cr > 0 else -1
+        if sign == 0:
+            sign = s
+        elif s != sign:
+            return False
+    return True
+
+
+def _quad_extremes(coef, poly):
+    """Exact (min, max) of the quadratic q(x, y) = p20 x^2 + p11 x y +
+    p02 y^2 + p10 x + p01 y + p00 over a convex polygon: vertices, edge
+    restrictions (1D quadratics — endpoint + vertex), and the interior
+    critical point when the Hessian is nonsingular. With a singular
+    Hessian the quadratic is (semi-)definite along one direction and
+    linear/constant along the null direction, so every extremum is
+    attained on the boundary, which the edge analysis covers."""
+    p20, p11, p02, p10, p01, p00 = coef
+
+    def ev(x, y):
+        return (p20 * x * x + p11 * x * y + p02 * y * y
+                + p10 * x + p01 * y + p00)
+
+    vals = [ev(x, y) for x, y in poly]
+    det_h = 4.0 * p20 * p02 - p11 * p11
+    if abs(det_h) > 1e-30:
+        xc = (-2.0 * p02 * p10 + p11 * p01) / det_h
+        yc = (-2.0 * p20 * p01 + p11 * p10) / det_h
+        if _point_in_convex(xc, yc, poly):
+            vals.append(ev(xc, yc))
+    n = len(poly)
+    for i in range(n):
+        px, py = poly[i]
+        qx, qy = poly[(i + 1) % n]
+        dx, dy = qx - px, qy - py
+        a = p20 * dx * dx + p11 * dx * dy + p02 * dy * dy
+        if abs(a) > 1e-30:
+            b = (2.0 * p20 * px * dx + p11 * (px * dy + py * dx)
+                 + 2.0 * p02 * py * dy + p10 * dx + p01 * dy)
+            t = -b / (2.0 * a)
+            if 0.0 < t < 1.0:
+                vals.append(ev(px + t * dx, py + t * dy))
+    return min(vals), max(vals)
+
+
 def band_budget(H, out_shape, src_shape, classes=(2, 4, 8, 16, 32, 64)):
     """Host-side: smallest (dy, dx) budget class covering |sy-y| / |sx-x|
     over the output grid for homography ``H`` (numpy, f64), or ``None``
     if the warp displaces farther than the largest class (fall back to
-    the gather warp). Evaluated on the grid corners + edge midlines — the
-    Möbius coordinate maps are monotone enough along each axis that the
-    extrema live on the boundary; a 9x9 interior grid guards the rest."""
+    the gather warp).
+
+    CERTIFIED, not sampled (r3 finding: a 9x9 grid can miss a
+    displacement extremum between samples, silently zeroing pixels).
+    Only the *live region* constrains the band — destination pixels whose
+    source point falls outside the image produce zero through both the
+    band and the gather warp. With the denominator den = g x + h y + w
+    of the Moebius map strictly one-signed over the canvas (checked at
+    the corners; linear => everywhere), the live region
+    {-1 < sx < ws, -1 < sy < hs} is the canvas rectangle clipped by four
+    half-planes (each bound times den is linear), i.e. a convex polygon.
+    Over it, sx - x = P(x, y)/den with P quadratic, so the exact extrema
+    of P and den are closed-form (``_quad_extremes``; den is linear =>
+    vertices) and hull{P_ext/den_ext} bounds the displacement from
+    above. A sign-crossing or near-zero denominator means a pole inside
+    the canvas — the one case where a thin live sliver beyond the pole
+    can carry arbitrary displacement — and returns None (gather path).
+    The +1.5 class margin covers the floor/ceil tap offset (+1) plus
+    headroom."""
     import numpy as np
 
     Hinv = np.linalg.inv(np.asarray(H, np.float64))
     h_out, w_out = out_shape
-    ys = np.linspace(0, h_out - 1, 9)
-    xs = np.linspace(0, w_out - 1, 9)
-    gx, gy = np.meshgrid(xs, ys)
-    den = Hinv[2, 0] * gx + Hinv[2, 1] * gy + Hinv[2, 2]
-    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
-    sx = (Hinv[0, 0] * gx + Hinv[0, 1] * gy + Hinv[0, 2]) / den
-    sy = (Hinv[1, 0] * gx + Hinv[1, 1] * gy + Hinv[1, 2]) / den
-    # only in-source samples constrain the band (out-of-source taps are
-    # zero regardless); clamp displacement where the source point is
-    # outside the image by more than one pixel
     hs, ws = src_shape[:2]
-    live = (sx > -1) & (sx < ws) & (sy > -1) & (sy < hs)
-    if not live.any():
-        return classes[0], classes[0]
-    dy = np.abs(sy - gy)[live].max()
-    dx = np.abs(sx - gx)[live].max()
-    dy_c = next((c for c in classes if c >= dy + 1.5), None)
-    dx_c = next((c for c in classes if c >= dx + 1.5), None)
+    box = [(0.0, 0.0), (float(w_out - 1), 0.0),
+           (float(w_out - 1), float(h_out - 1)), (0.0, float(h_out - 1))]
+    g, hh, w0 = Hinv[2]
+    dens = [g * x + hh * y + w0 for x, y in box]
+    if not (min(dens) > 1e-9 or max(dens) < -1e-9):
+        return None                           # pole in/near the canvas
+    if dens[0] < 0:                           # normalize: den > 0 on box
+        Hinv = -Hinv
+        g, hh, w0 = Hinv[2]
+    a, b, c = Hinv[0]
+    d, e, f = Hinv[1]
+
+    # live region = box clipped by (inequality * den, den > 0):
+    #   sx > -1:  num_x + den > 0
+    #   sx < ws:  ws*den - num_x > 0
+    #   sy > -1:  num_y + den > 0
+    #   sy < hs:  hs*den - num_y > 0
+    poly = box
+    for A, B, C in (
+        (a + g, b + hh, c + w0),
+        (ws * g - a, ws * hh - b, ws * w0 - c),
+        (d + g, e + hh, f + w0),
+        (hs * g - d, hs * hh - e, hs * w0 - f),
+    ):
+        poly = _clip_halfplane(poly, A, B, C)
+        if len(poly) < 3:
+            return classes[0], classes[0]     # no live pixels at all
+
+    den_vals = [g * x + hh * y + w0 for x, y in poly]
+    den_lo, den_hi = min(den_vals), max(den_vals)
+    if den_lo <= 1e-9:
+        return None
+
+    def disp_bound(coef):
+        lo, hi = _quad_extremes(coef, poly)
+        return max(abs(v) for v in
+                   (lo / den_lo, lo / den_hi, hi / den_lo, hi / den_hi))
+
+    # sx - x = P/den, P = num_x - x*den = -g x^2 - h x y + (a-w)x + b y + c
+    dx = disp_bound((-g, -hh, 0.0, a - w0, b, c))
+    # sy - y = Q/den, Q = num_y - y*den = -h y^2 - g x y + d x + (e-w)y + f
+    dy = disp_bound((0.0, -g, -hh, d, e - w0, f))
+
+    dy_c = next((cl for cl in classes if cl >= dy + 1.5), None)
+    dx_c = next((cl for cl in classes if cl >= dx + 1.5), None)
     if dy_c is None or dx_c is None:
         return None
     return dy_c, dx_c

@@ -151,3 +151,111 @@ def test_band_budget_rejects_large_displacement():
     H = np.array([[1.0, 0.0, 300.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
     # a 300-px shift of a source that stays visible exceeds every class
     assert band_budget(H, (100, 400), (100, 400)) is None
+
+
+def _sampled_band_budget(H, out_shape, src_shape, classes=(2, 4, 8, 16, 32, 64)):
+    """The round-3 9x9 SAMPLED budget estimator, kept here as the foil for
+    the certified version (ops/warp.py band_budget): it can miss a live
+    displacement extremum that falls between its samples."""
+    Hinv = np.linalg.inv(np.asarray(H, np.float64))
+    h_out, w_out = out_shape
+    ys = np.linspace(0, h_out - 1, 9)
+    xs = np.linspace(0, w_out - 1, 9)
+    gx, gy = np.meshgrid(xs, ys)
+    den = Hinv[2, 0] * gx + Hinv[2, 1] * gy + Hinv[2, 2]
+    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    sx = (Hinv[0, 0] * gx + Hinv[0, 1] * gy + Hinv[0, 2]) / den
+    sy = (Hinv[1, 0] * gx + Hinv[1, 1] * gy + Hinv[1, 2]) / den
+    hs, ws = src_shape[:2]
+    live = (sx > -1) & (sx < ws) & (sy > -1) & (sy < hs)
+    if not live.any():
+        return classes[0], classes[0]
+    dy = np.abs(sy - gy)[live].max()
+    dx = np.abs(sx - gx)[live].max()
+    dy_c = next((c for c in classes if c >= dy + 1.5), None)
+    dx_c = next((c for c in classes if c >= dx + 1.5), None)
+    if dy_c is None or dx_c is None:
+        return None
+    return dy_c, dx_c
+
+
+def _live_displacement(Hinv, out_shape, src_shape):
+    """True per-pixel live displacement maxima over the FULL integer grid."""
+    h_out, w_out = out_shape
+    hs, ws = src_shape[:2]
+    gx, gy = np.meshgrid(np.arange(w_out, dtype=np.float64),
+                         np.arange(h_out, dtype=np.float64))
+    den = Hinv[2, 0] * gx + Hinv[2, 1] * gy + Hinv[2, 2]
+    safe = np.where(np.abs(den) < 1e-12, 1e-12, den)
+    sx = (Hinv[0, 0] * gx + Hinv[0, 1] * gy + Hinv[0, 2]) / safe
+    sy = (Hinv[1, 0] * gx + Hinv[1, 1] * gy + Hinv[1, 2]) / safe
+    live = (sx > -1) & (sx < ws) & (sy > -1) & (sy < hs)
+    if not live.any():
+        return 0.0, 0.0, live
+    return np.abs(sy - gy)[live].max(), np.abs(sx - gx)[live].max(), live
+
+
+def test_band_budget_adversarial_pole_sliver():
+    """Adversarial H the 9x9 SAMPLING underestimates (VERDICT r3 item 8).
+
+    The Moebius denominator's zero line crosses the canvas diagonally;
+    beyond the pole a thin sliver of destination pixels maps BACK into
+    the source (live, displacement ~320 px) threaded between the 9x9
+    sample points, while every sampled point is dead. The r3 estimator
+    returns the smallest class (2, 2) -> warp_band silently zeros the
+    sliver; the certified estimator must detect the pole and return None
+    (gather fallback)."""
+    from stereo_reconstruction_tpu.ops.warp import band_budget, warp_band
+
+    out_shape = src_shape = (100, 400)
+    # den = 1 - x/380 - y/95 (pole line x + 4y = 380);
+    # num_x = 50*den + 10*(x - 374)  -> sx ~ 50 inside a ~14-px-wide strip
+    #                                   around x = 374 (between samples
+    #                                   349.125 and 399), dead elsewhere
+    # num_y = 31*den + 2*(y - 31)    -> sy stays in range over the strip
+    Hinv = np.array([
+        [10.0 - 50.0 / 380.0, -50.0 / 95.0, 50.0 - 3740.0],
+        [-31.0 / 380.0, 2.0 - 31.0 / 95.0, -31.0 - 62.0 + 31.0],
+        [-1.0 / 380.0, -1.0 / 95.0, 1.0],
+    ])
+    H = np.linalg.inv(Hinv)
+
+    dy_true, dx_true, live = _live_displacement(Hinv, out_shape, src_shape)
+    assert live.any(), "construction broken: no live sliver"
+    assert dx_true > 100.0, dx_true          # huge true displacement...
+    sampled = _sampled_band_budget(H, out_shape, src_shape)
+    assert sampled == (2, 2), sampled        # ...invisible to the sampler
+    assert band_budget(H, out_shape, src_shape) is None  # certified: pole
+
+    # end-to-end: the gather warp lights up the sliver; the band warp
+    # under the sampled budget silently zeros it
+    ones = jnp.ones(src_shape, jnp.float32)
+    Hf = jnp.asarray(H, jnp.float32)
+    gather = np.asarray(warp_perspective(ones, Hf, out_shape))
+    banded = np.asarray(warp_band(ones, Hf, out_shape, *sampled))
+    sliver = (gather > 0.5) & (banded == 0.0)
+    assert sliver.sum() > 50, sliver.sum()
+
+
+def test_band_budget_certified_soundness_fuzz(rng):
+    """For random in-budget homographies the certified class must cover
+    the true full-grid live displacement with >= 1 px of tap margin."""
+    from stereo_reconstruction_tpu.ops.warp import band_budget
+
+    out_shape, src_shape = (80, 120), (70, 110)
+    n_checked = 0
+    for _ in range(60):
+        P = np.eye(3)
+        P[:2, :2] += rng.uniform(-0.05, 0.05, (2, 2))
+        P[:2, 2] = rng.uniform(-10, 10, 2)
+        P[2, :2] = rng.uniform(-2e-4, 2e-4, 2)
+        H = np.linalg.inv(P)
+        budget = band_budget(H, out_shape, src_shape)
+        dy_true, dx_true, live = _live_displacement(P, out_shape, src_shape)
+        if budget is None:
+            continue
+        n_checked += 1
+        if live.any():
+            assert budget[0] >= dy_true + 1.0, (budget, dy_true)
+            assert budget[1] >= dx_true + 1.0, (budget, dx_true)
+    assert n_checked >= 20, n_checked        # the fuzz actually exercised it
