@@ -48,6 +48,7 @@ def smoothed_argmin_reference(
     iters: int = 2,           # kept for API compat; the path is exact
     d_first: int = 0,         # dvals = d_first + arange(D); requires >= 0
     first_flags: Optional[jnp.ndarray] = None,  # (H,) rows with no up-neighbor
+    init_prev: Optional[jnp.ndarray] = None,    # (W,) up-neighbor seed row
 ) -> jnp.ndarray:
     """EXACT fast path for ``mode="reference"``, Right variant.
 
@@ -76,9 +77,21 @@ def smoothed_argmin_reference(
     The row scan (up-neighbor recurrence) body is O(W log W) with no
     D-sized work; the volume passes are fully parallel.
     """
-    D, h, w = cost.shape
+    D = cost.shape[0]
+    m0, a0, c_zero, diag_up, diag_lf = volume_reductions(cost, d_first)
+    return smoothed_argmin_from_inputs(
+        m0, a0, c_zero, diag_up, diag_lf, black,
+        smooth_factor=smooth_factor, d_first=d_first, n_planes=D,
+        first_flags=first_flags, init_prev=init_prev,
+    )
 
-    # batched over the whole volume (the heavy part, fully parallel):
+
+@functools.partial(jax.jit, static_argnames=("d_first",))
+def volume_reductions(cost: jnp.ndarray, d_first: int = 0):
+    """The five (H, W) planes the exact smoothing scan consumes, batched
+    over the whole volume (the heavy part, fully parallel): plain
+    min/argmin, the d == 0 plane, and the two sentinel diagonals."""
+    D, h, w = cost.shape
     m0 = jnp.min(cost, axis=0)                       # (H, W)
     a0 = jnp.argmin(cost, axis=0).astype(jnp.int32)  # first-index semantics
     # plane of candidate d == 0 (neighbor disparity 0)
@@ -106,12 +119,7 @@ def smoothed_argmin_reference(
         (xi - 1 >= d_first) & (xi - 1 < d_first + D) & (inf_lf == 0),
         diag_lf, jnp.inf,
     )
-
-    return smoothed_argmin_from_inputs(
-        m0, a0, c_zero, diag_up, diag_lf, black,
-        smooth_factor=smooth_factor, d_first=d_first, n_planes=D,
-        first_flags=first_flags,
-    )
+    return m0, a0, c_zero, diag_up, diag_lf
 
 
 @functools.partial(jax.jit, static_argnames=("d_first", "n_planes"))
@@ -126,12 +134,19 @@ def smoothed_argmin_from_inputs(
     d_first: int = 0,
     n_planes: int = 1,
     first_flags: Optional[jnp.ndarray] = None,
+    init_prev: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The exact smoothing row scan from precomputed volume reductions.
 
     The five (H, W) inputs are produced either by the XLA front-end above
     or — with the full volume never leaving VMEM — by the fused Pallas
-    kernel (ops/pallas_cost_volume.py ``pallas_matcher_inputs``)."""
+    kernel (ops/pallas_cost_volume.py ``pallas_matcher_inputs``).
+
+    ``init_prev`` seeds the up-neighbor carry for row 0 — a row tile
+    whose first row should continue the recurrence from the tile above
+    passes that tile's final disparity row here (and first_flags[0]
+    False); the wavefront-exact sharded matcher (parallel/sharded.py)
+    chains tiles this way."""
     h, w = m0.shape
     D = n_planes
     sf = jnp.float32(smooth_factor)
@@ -201,9 +216,11 @@ def smoothed_argmin_from_inputs(
 
     if first_flags is None:
         first_flags = jnp.zeros((h,), bool).at[0].set(True)
+    if init_prev is None:
+        init_prev = jnp.zeros((w,), jnp.float32)
     _, disparity = lax.scan(
         row_step,
-        jnp.zeros((w,), jnp.float32),
+        init_prev.astype(jnp.float32),
         (m0, a0, c_zero, diag_up, diag_lf, black, first_flags),
         unroll=8,   # the O(W) body is tiny; per-step loop overhead dominates
     )

@@ -66,13 +66,28 @@ def _halo_exchange(block: jnp.ndarray, top_halo: int, bottom_halo: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
-                           warmup: int):
+                           warmup: int, exact: bool = False):
     """Cached jitted shard_map matcher — one compile per (mesh, config,
-    height, warmup); repeated calls reuse the XLA executable."""
+    height, warmup, exact); repeated calls reuse the XLA executable.
+
+    ``exact`` selects the WAVEFRONT mode: instead of truncating the
+    up-neighbor chain at ``warmup`` rows, the smoothing recurrence is
+    chained across tiles — the only state row y needs from above is the
+    final disparity row y-1 (a (W,) vector), so tile t's scan is re-run
+    n_tiles times inside a fori_loop, reseeded each iteration by a
+    ppermute of the up-tile's last row. Tile t's output is correct from
+    iteration t on (seeds propagate monotonically), so after n_tiles
+    iterations the result is BIT-IDENTICAL to the single-device matcher.
+    The expensive cost-volume build stays fully row-parallel (computed
+    once, outside the loop); only the cheap O(W)-per-row smoothing scan
+    is repeated, so exactness costs ~n_tiles x smoothing, not n_tiles x
+    matcher (measured in SCALING.json exact_mode rows)."""
     hbs = (config.block_size - 1) // 2
     hw = 2 * hbs
     n_tiles = mesh.shape["tile"]
     rows_per_tile = h // n_tiles
+    if exact:
+        warmup = 0
     top_halo = warmup + hw
     bottom_halo = hw
     D = config.max_disparity - config.min_disparity
@@ -102,9 +117,15 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
 
             black = cv.black_pixel_mask(rb_h[hw:-hw])
             gids = row0 + hw + jnp.arange(warmup + rows_per_tile)
-            # rows with no (available) up-neighbor: the true image top and
-            # each tile's first warm-up row (the chain truncation point)
-            first = (gids <= 0) | (jnp.arange(warmup + rows_per_tile) == 0)
+            if exact:
+                # only the true image top starts the chain; every other
+                # tile-first row is seeded by the wavefront ppermute
+                first = gids == 0
+            else:
+                # rows with no (available) up-neighbor: the true image top
+                # and each tile's first warm-up row (the truncation point)
+                first = (gids <= 0) | (
+                    jnp.arange(warmup + rows_per_tile) == 0)
 
             if use_pallas:
                 planes = pcv.pallas_matcher_inputs(
@@ -122,36 +143,52 @@ def _build_sharded_matcher(mesh: Mesh, config: MatcherConfig, h: int,
                 m0, a0, c_zero, diag_up, diag_lf = (
                     p[hw:-hw] for p in planes
                 )
-                disp = smoothing.smoothed_argmin_from_inputs(
+            else:
+                cost = cv.cost_volume_right_ssd(
+                    lb_h.astype(jnp.float32),
+                    rb_h.astype(jnp.float32),
+                    config.block_size,
+                    config.min_disparity,
+                    config.max_disparity,
+                    row_offset=row0,
+                    total_height=h,
+                )                    # (D, top_halo + Hloc + hw, W) exact
+                # keep warm-up rows for the smoothing recurrence; drop
+                # the window-support-only rows
+                m0, a0, c_zero, diag_up, diag_lf = (
+                    smoothing.volume_reductions(
+                        cost[:, hw:-hw, :], config.min_disparity))
+
+            def smooth(seed):
+                return smoothing.smoothed_argmin_from_inputs(
                     m0, a0, c_zero, diag_up, diag_lf, black,
                     smooth_factor=config.smooth_factor,
                     d_first=config.min_disparity,
                     n_planes=D,
                     first_flags=first,
+                    init_prev=seed,
                 )
-                return disp[warmup:]
 
-            cost = cv.cost_volume_right_ssd(
-                lb_h.astype(jnp.float32),
-                rb_h.astype(jnp.float32),
-                config.block_size,
-                config.min_disparity,
-                config.max_disparity,
-                row_offset=row0,
-                total_height=h,
-            )                        # (D, top_halo + Hloc + hw, W) exact
-            # keep warm-up rows for the smoothing recurrence; drop the
-            # window-support-only rows
-            cost = cost[:, hw:-hw, :]                  # (D, warmup+Hloc, W)
+            w = lb.shape[1]
+            if not exact:
+                return smooth(jnp.zeros((w,), jnp.float32))[warmup:]
 
-            disp = smoothing.smoothed_argmin_reference(
-                cost, black,
-                smooth_factor=config.smooth_factor,
-                iters=config.row_smooth_iters,
-                d_first=config.min_disparity,
-                first_flags=first,
-            )
-            return disp[warmup:]
+            # wavefront: n_tiles reseeded smoothing passes; ppermute the
+            # final local row down one tile after each (no wraparound —
+            # tile 0 receives zeros and its seed is ignored via `first`)
+            perm_down = [(i, i + 1) for i in range(n_tiles - 1)]
+
+            def body(_t, state):
+                seed, _ = state
+                disp = smooth(seed)
+                seed_next = lax.ppermute(disp[-1], "tile", perm_down)
+                return seed_next, disp
+
+            _, disp = lax.fori_loop(
+                0, n_tiles, body,
+                (jnp.zeros((w,), jnp.float32),
+                 jnp.zeros((rows_per_tile, w), jnp.float32)))
+            return disp
 
         return jax.vmap(per_pair)(left_blk, right_blk)
 
@@ -170,14 +207,21 @@ def sharded_block_search_right(
     mesh: Mesh,
     config: MatcherConfig = MatcherConfig(),
     warmup: int = 32,       # smoothing warm-up rows above each tile
+    exact: bool = False,    # wavefront mode: bit-identical to 1 device
 ) -> jnp.ndarray:
-    """(B, H, W) disparity; B sharded on `data`, H sharded on `tile`."""
+    """(B, H, W) disparity; B sharded on `data`, H sharded on `tile`.
+
+    ``exact=True`` chains the smoothing recurrence across tiles
+    (wavefront ppermute of the boundary disparity row) instead of
+    truncating it at ``warmup`` rows: bit-identical to the single-device
+    matcher at ~n_tiles x the (cheap) smoothing-scan cost, with the
+    cost-volume build still fully parallel. See _build_sharded_matcher."""
     hbs = (config.block_size - 1) // 2
     hw = 2 * hbs
     h = int(right.shape[1])
     rows_per_tile = h // mesh.shape["tile"]
-    warmup = min(warmup, rows_per_tile - hw)
-    return _build_sharded_matcher(mesh, config, h, warmup)(left, right)
+    warmup = 0 if exact else min(warmup, rows_per_tile - hw)
+    return _build_sharded_matcher(mesh, config, h, warmup, exact)(left, right)
 
 
 @functools.lru_cache(maxsize=32)
