@@ -256,6 +256,43 @@ def main():
     rep.section("matcher_steady", sec_matcher_steady, required=True)
     cold = state.get("compile_s", 0.0) > 60.0
 
+    def sec_matcher_static():
+        # static trip counts let XLA unroll + software-pipeline the K
+        # steps (ILP across iterations) — the throughput a pipelined
+        # producer sees, and the method behind the r2-recorded headline.
+        # Costs one extra compile per trip count, so it runs as an
+        # upgrade after the dynamic-loop headline is already on record.
+        K = args.loop
+
+        def looped_static(k):
+            def body(i, acc):
+                d = step(Lb + 0.25 * (1.0 + i.astype(jnp.float32)), Rb)
+                return acc + d[0, 0, 0] + d[-1, -1, -1]
+            # the traced ``off`` seeds the accumulator so every call is
+            # unique to the relay's dedup cache
+            return jax.jit(lambda off: lax.fori_loop(0, k, body, off))
+
+        f1s, fKs = looped_static(1), looped_static(K)
+        _ = float(f1s(jnp.float32(0.0)))
+        _ = float(fKs(jnp.float32(0.0)))
+        t1s, tKs = [], []
+        for i in range(args.reps):
+            off = jnp.float32(0.001 * (i + 1))
+            t0 = time.perf_counter()
+            _ = float(f1s(off))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = float(fKs(off))
+            tKs.append(time.perf_counter() - t0)
+        per_pair = (min(tKs) - min(t1s)) / (K - 1) / B
+        if per_pair > 0:
+            rep.extra["ms_per_pair_static"] = round(per_pair * 1000, 3)
+            rep.value = max(rep.value, 1.0 / per_pair)
+            rep.extra["headline_kind"] = "steady_state_marginal_static"
+
+    rep.section("matcher_static", sec_matcher_static,
+                est_s=500 if cold else 30)
+
     # --------------------------------- measured MXU utilization (r2 item 9)
     def sec_mxu():
         xcfg = dataclasses.replace(cfg, backend="xla")
@@ -268,6 +305,11 @@ def main():
             ca = lowered.cost_analysis()
             source = "lowered.cost_analysis"
         except Exception:
+            ca = None
+        if ca is None:
+            # some backends (the axon relay) return None from the client
+            # analysis: lower for the in-process CPU backend instead —
+            # same HLO math, analyzed locally without a device compile
             cpu_lowered = jax.jit(
                 lambda l, r: block_search_right(l, r, xcfg),
                 backend="cpu").lower(
@@ -277,6 +319,8 @@ def main():
             source = "cpu lowered.cost_analysis"
         if isinstance(ca, list):
             ca = ca[0]
+        if ca is None:
+            raise RuntimeError("cost_analysis unavailable on both backends")
         flops = float(ca.get("flops", 0.0))
         per_pair = state["per_pair"]
         achieved = flops / per_pair
@@ -373,14 +417,19 @@ def main():
         from stereo_reconstruction_tpu.pipeline_batch import run_batches
         KB = 4
 
+        u8l = np.asarray(qpair.image_left).astype(np.uint8)
+        u8r = np.asarray(qpair.image_right).astype(np.uint8)
+
         def perturbed(k):
             # distinct pixels per batch (the relay dedupes identical
-            # executions); +0.25k stays f16-exact for the compact upload
+            # executions) while KEEPING the uint8 upload dtype, so the
+            # device programs compiled by the batch_pipeline section are
+            # reused verbatim (an f32/f16 perturbation would force two
+            # fresh ~200 s relay compiles)
             return [dataclasses.replace(
                 qpair,
-                image_left=np.asarray(qpair.image_left, np.float32) + 0.25 * k,
-                image_right=np.asarray(qpair.image_right, np.float32)
-                + 0.25 * k,
+                image_left=(u8l + np.uint8(k)),
+                image_right=(u8r + np.uint8(k)),
             )] * B
 
         run_batches([perturbed(k) for k in range(KB)], pcfg,

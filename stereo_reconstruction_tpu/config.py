@@ -148,6 +148,10 @@ class PerceptualConfig:
     # approximation (~10x fewer FLOPs, structural receptive-field gap)
     mode: str = "windowed"
     chunk: int = 20                   # notebook cell 10 size_of_chunk
+    # rows per conv batch in the windowed cost volume (row_block * W
+    # windows per MXU batch; purely a throughput knob — per-window math
+    # is independent, so results are row-identical for any value)
+    row_block: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -3,4 +3,7 @@ from stereo_reconstruction_tpu.parallel.sharded import (  # noqa: F401
     sharded_block_search_right,
     sharded_evaldisp,
 )
-from stereo_reconstruction_tpu.parallel.ba_dist import distributed_bundle_adjust  # noqa: F401
+from stereo_reconstruction_tpu.parallel.ba_dist import (  # noqa: F401
+    distributed_bundle_adjust,
+    distributed_bundle_adjust_batch,
+)

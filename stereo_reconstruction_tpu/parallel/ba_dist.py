@@ -26,8 +26,16 @@ from stereo_reconstruction_tpu.pose.ba import BAResult, _residuals_one
 
 @functools.lru_cache(maxsize=16)
 def _build_dist_ba(mesh: Mesh, config: BundleAdjustmentConfig,
-                   shard_axes: tuple):
-    """Cached jitted shard_map BA — one compile per (mesh, config, axes)."""
+                   shard_axes: tuple, batched: bool = False):
+    """Cached jitted shard_map BA — one compile per (mesh, config, axes).
+
+    ``batched=True`` vmaps the per-device LM over a leading PAIR axis:
+    B independent two-view problems advance in lockstep and their Schur
+    systems ride ONE fused psum of (B, 42) floats per LM iteration (plus
+    one (B,) cost psum for the accept test) instead of B separate
+    collective chains — on a latency-bound fabric the per-pair collective
+    cost is divided by B (VERDICT r3 item 7). This is the production
+    multi-pair pattern (pipeline_batch processes B pairs at a time)."""
 
     def local(kp_l_blk, kp_r_blk, w_blk, X0_blk, pose0, K_left, K_right):
         """Runs on each device with a shard of the points."""
@@ -115,18 +123,37 @@ def _build_dist_ba(mesh: Mesh, config: BundleAdjustmentConfig,
         )
         return pose_f, X_f, c0, cost_f
 
-    # points ride the flattened mesh; kp/weights shard with them
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
+    if batched:
+        # vmap over the leading pair axis; the psums inside lm_step batch
+        # into single collectives over (B, ...) payloads
+        body = jax.vmap(local, in_axes=(0, 0, 0, 0, 0, None, None))
+        in_specs = (
+            P(None, shard_axes, None),  # kp_l (B, N, 3) point-sharded
+            P(None, shard_axes, None),
+            P(None, shard_axes),
+            P(None, shard_axes, None),  # X0 (B, N, 3)
+            P(None, None),              # pose0 (B, 6) replicated
+            P(), P(),
+        )
+        out_specs = (P(None, None), P(None, shard_axes, None), P(None),
+                     P(None))
+    else:
+        body = local
+        in_specs = (
             P(shard_axes, None),  # kp_l (N, 3) row-sharded
             P(shard_axes, None),
             P(shard_axes),
             P(shard_axes, None),  # X0 (N, 3)
             P(), P(), P(),
-        ),
-        out_specs=(P(), P(shard_axes, None), P(), P()),
+        )
+        out_specs = (P(), P(shard_axes, None), P(), P())
+
+    # points ride the flattened mesh; kp/weights shard with them
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -166,3 +193,55 @@ def distributed_bundle_adjust(
         rotation=R, translation=T, pose=pose_mat, points=X_f.T,
         initial_cost=c0, final_cost=cost_f, fundamental=F,
     )
+
+
+def distributed_bundle_adjust_batch(
+    matches_left: jnp.ndarray,    # (B, 3, N) — N sharded over the mesh
+    matches_right: jnp.ndarray,
+    K_left: jnp.ndarray,
+    K_right: jnp.ndarray,
+    init_rotations: jnp.ndarray,  # (B, 3, 3)
+    init_translations: jnp.ndarray,  # (B, 3)
+    init_points: jnp.ndarray,     # (B, 3, N)
+    mesh: Mesh,
+    weights: jnp.ndarray | None = None,   # (B, N)
+    config: BundleAdjustmentConfig = BundleAdjustmentConfig(),
+    shard_axes: tuple = ("data", "tile"),
+):
+    """B independent two-view BAs as ONE vmapped distributed LM.
+
+    Per LM iteration all B Schur systems ride a single fused psum
+    ((B, 42) floats) plus one fused (B,) cost psum — B times fewer
+    collective phases than B sequential ``distributed_bundle_adjust``
+    calls; the amortization is what restores weak-scaling efficiency on
+    latency-bound fabrics (MULTIHOST.json ba_batch rows). Semantics per
+    pair are identical to ``distributed_bundle_adjust`` (same LM, same
+    Schur elimination; reference anchor bundle_adjustment.h:205-230).
+
+    Returns (poses (B, 4, 4), fundamentals (B, 3, 3), initial_costs (B,),
+    final_costs (B,), points (B, 3, N)).
+    """
+    b, _, n = matches_left.shape
+    w = (jnp.ones((b, n)) if weights is None
+         else weights.astype(jnp.float32))
+    pose0 = jnp.concatenate([
+        jax.vmap(geo.rotation_to_angle_axis)(init_rotations),
+        init_translations,
+    ], axis=-1)
+
+    fn = _build_dist_ba(mesh, config, tuple(shard_axes), batched=True)
+    pose_f, X_f, c0, cost_f = fn(
+        jnp.swapaxes(matches_left, 1, 2),
+        jnp.swapaxes(matches_right, 1, 2),
+        w, jnp.swapaxes(init_points, 1, 2), pose0,
+        K_left, K_right,
+    )
+
+    R = jax.vmap(geo.angle_axis_to_rotation)(pose_f[:, :3])
+    T = pose_f[:, 3:]
+    poses = (jnp.broadcast_to(jnp.eye(4), (b, 4, 4))
+             .at[:, :3, :3].set(R).at[:, :3, 3].set(T))
+    E = jax.vmap(geo.essential_from_pose)(R, T)
+    F = jax.vmap(
+        lambda e: geo.fundamental_from_essential(e, K_left, K_right))(E)
+    return poses, F, c0, cost_f, jnp.swapaxes(X_f, 1, 2)

@@ -172,17 +172,16 @@ def perceptual_window_search(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def windowed_lpips_search(
+def windowed_lpips_cost_volume(
     params: Dict,
     left: jnp.ndarray,      # (H, W, 3) RGB [0, 255]
     right: jnp.ndarray,     # (H, W, 3)
     config: PerceptualConfig = PerceptualConfig(),
 ) -> jnp.ndarray:
-    """The notebook's per-window LPIPS search as ONE device program.
+    """(H, D, W) notebook-exact per-window LPIPS cost volume.
 
-    Reproduces ``Perceptual_window_search.ipynb`` cells 6-10 semantics
-    bit-for-bit up to f32 vs the notebook's f64 score arithmetic
-    (tests/test_perceptual.py pins agreement vs the literal oracle):
+    Reproduces ``Perceptual_window_search.ipynb`` cells 6-8 semantics
+    bit-for-bit up to f32 vs the notebook's f64 score arithmetic:
 
       * every pixel owns a zero-padded ``window x window`` crop (cell 6
         unfold, padding 8) forwarded through the VGG tower INDEPENDENTLY
@@ -192,27 +191,25 @@ def windowed_lpips_search(
         channel-unit-normalize, squared diff, ``lins`` weighting, spatial
         mean per stage, summed over stages — expanded here into
         norm/cross terms so the candidate band is D shifted row dots, not
-        a W x W matrix;
-      * the chunked multiplicative smoothing of cell 10 with its quirks:
-        the previous-pixel term resets every ``chunk`` pixels and its
-        argmin is clamped to ``min(prev, size)`` where size is the
-        CURRENT pixel's candidate count; previous-row weighting is
-        row-global. The in-chunk recurrence runs Jacobi sweeps to the
-        fixpoint (exact; chains cannot cross chunk resets, so <= chunk
-        sweeps).
+        a W x W matrix.
 
-    TPU mapping: one lax.scan over rows; per row the W crops of each
-    image run as one batched conv stack (vgg16_features_batched — the
-    per-window forwards the notebook does in chunks of 10 become MXU
-    batches), and the D candidate distances are banded row dots.
+    TPU mapping (r3 -> r4: row-BLOCKED for MXU width): one lax.scan over
+    blocks of ``config.row_block`` rows; per block the row_block*W crops
+    of each image run as ONE batched conv stack
+    (vgg16_features_batched — the per-window forwards the notebook does
+    in chunks of 10 become wide MXU batches), and the D candidate
+    distances are banded row dots vmapped over the block's rows. The
+    full volume is only D*H*W f32 (67 MB at trainingQ/D=100), far below
+    HBM, and materializing it decouples the conv tower from the
+    sequential smoothing scan.
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     h, w = right.shape[:2]
     D = min(config.max_disparity, w)
     win, pad = config.window_size, config.padding
-    chunk = config.chunk
-    bias, sigma = config.smoothing_bias, config.smoothing_sigma
+    R = max(1, min(config.row_block, h))
+    n_blocks = -(-h // R)
 
     padded_l = jnp.pad(left, ((pad, pad), (pad, pad), (0, 0)))
     padded_r = jnp.pad(right, ((pad, pad), (pad, pad), (0, 0)))
@@ -221,51 +218,98 @@ def windowed_lpips_search(
     sizes = jnp.minimum(D, w - xs)                     # candidate counts
     dvals = jnp.arange(D, dtype=jnp.float32)
     valid = dvals[:, None] < sizes[None, :].astype(jnp.float32)   # (D, W)
-    pos_in_chunk = xs % chunk
     lins = params.get("lins") or [
         jnp.full((c,), 1.0 / c, jnp.float32)
         for c in (64, 128, 256, 512, 512)
     ]
 
-    def row_windows(padded, y):
-        # strip rows y..y+win-1 of the padded image; window x = columns
-        # x..x+win-1 (original top-left (y-pad, x-pad), like the oracle)
-        strip = lax.dynamic_slice(padded, (y, 0, 0), (win, w + 2 * pad, 3))
-        cols = [lax.dynamic_slice_in_dim(strip, j, w, axis=1)
-                for j in range(win)]                   # win x (win, W, 3)
-        return jnp.transpose(jnp.stack(cols, axis=0), (2, 1, 0, 3))
+    def block_windows(padded, y0):
+        # rows y0..y0+R-1's windows; window (r, x) = padded[y0+r : y0+r+win,
+        # x : x+win] (original top-left (y-pad, x-pad), like the oracle).
+        # dynamic_slice clamps y0 at the image end; clamped rows belong to
+        # the discarded tail of the last (padded) block.
+        strip = lax.dynamic_slice(
+            padded, (y0, 0, 0), (R + win - 1, w + 2 * pad, 3))
+        cols = jnp.stack([
+            lax.dynamic_slice_in_dim(strip, j, w, axis=1)
+            for j in range(win)
+        ])                                             # (win_j, R+win-1, W, 3)
+        rows = jnp.stack([
+            lax.slice_in_dim(cols, i, i + R, axis=1)
+            for i in range(win)
+        ])                                             # (win_i, win_j, R, W, 3)
+        return jnp.transpose(rows, (2, 3, 0, 1, 4)).reshape(
+            R * w, win, win, 3)
 
-    def row_cost(y):
-        lw = row_windows(padded_l, y)                  # (W, win, win, 3)
-        rw = row_windows(padded_r, y)
-        ls = vgg16_features_batched(params, lw)        # [(W, C, hs, ws)]
+    def shear_band(G):
+        """(R, W, W) Gram -> (R, W, D) band: out[r, x, d] = G[r, x, x+d]
+        (zero past the last column). Pure pad/reshape/slice — a vmapped
+        per-d dynamic_slice of the feature tensor materializes
+        (D, R*W, F) = 27 GB at image scale, and TPU diagonal gathers are
+        scalar-slow; flattening with a stride of W+D+1 walks the
+        diagonals instead."""
+        Wp = w + D
+        Gp = jnp.pad(G, ((0, 0), (0, 0), (0, D)))      # (R, W, Wp)
+        flat = jnp.pad(Gp.reshape(R, w * Wp), ((0, 0), (0, w)))
+        return flat.reshape(R, w, Wp + 1)[:, :, :D]
+
+    def block_cost(y0):
+        lw = block_windows(padded_l, y0)               # (R*W, win, win, 3)
+        rw = block_windows(padded_r, y0)
+        ls = vgg16_features_batched(params, lw)        # [(R*W, C, hs, ws)]
         rs = vgg16_features_batched(params, rw)
-        total = jnp.zeros((D, w), jnp.float32)
+        total = jnp.zeros((R, D, w), jnp.float32)
         for fl, fr, lin in zip(ls, rs, lins):
             nl = jax.vmap(normalize_features)(fl)
             nr = jax.vmap(normalize_features)(fr)
             sp = nl.shape[2] * nl.shape[3]
             lin = jnp.asarray(lin)[None, :, None, None]
             wl = nl * lin                              # lin folded into left
-            t_l = jnp.sum(wl * nl, axis=(1, 2, 3)) / sp       # (W,)
-            t_r = jnp.sum(nr * nr * lin, axis=(1, 2, 3)) / sp
-            nlf = wl.reshape(w, -1)
-            nrf = nr.reshape(w, -1)
-            nlf_pad = jnp.pad(nlf, ((0, D), (0, 0)))
-            t_l_pad = jnp.pad(t_l, (0, D))
+            t_l = jnp.sum(wl * nl, axis=(1, 2, 3)).reshape(R, w) / sp
+            t_r = jnp.sum(nr * nr * lin, axis=(1, 2, 3)).reshape(R, w) / sp
+            nlf = wl.reshape(R, w, -1)
+            nrf = nr.reshape(R, w, -1)
+            # cross terms as ONE batched MXU matmul per block: the
+            # candidate band is the first D diagonals of the (W, W) Gram
+            G = jnp.einsum("rxf,ryf->rxy", nrf, nlf) / sp
+            cross = shear_band(G)                      # (R, W, D)
+            t_l_pad = jnp.pad(t_l, ((0, 0), (0, D)))
+            tl_band = jax.vmap(
+                lambda d: lax.dynamic_slice_in_dim(t_l_pad, d, w, axis=1)
+            )(jnp.arange(D))                           # (D, R, W)
+            total = total + (
+                t_r[:, None, :] + jnp.moveaxis(tl_band, 0, 1)
+                - 2.0 * jnp.moveaxis(cross, 2, 1))
+        return jnp.where(valid[None], total, jnp.inf)
 
-            def band(d):
-                sh = lax.dynamic_slice_in_dim(nlf_pad, d, w, axis=0)
-                cross = jnp.sum(nrf * sh, axis=1) / sp
-                tl = lax.dynamic_slice_in_dim(t_l_pad, d, w, axis=0)
-                return t_r + tl - 2.0 * cross
+    _, blocks = lax.scan(
+        lambda c, y0: (c, block_cost(y0)),
+        jnp.int32(0), jnp.arange(n_blocks) * R,
+    )                                                  # (nb, R, D, W)
+    return blocks.reshape(n_blocks * R, D, w)[:h]
 
-            total = total + jax.vmap(band)(jnp.arange(D))     # (D, W)
-        return jnp.where(valid, total, jnp.inf)
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def windowed_smooth_argmin(
+    cost: jnp.ndarray,           # (H, D, W) from windowed_lpips_cost_volume
+    config: PerceptualConfig = PerceptualConfig(),
+) -> jnp.ndarray:
+    """The notebook's chunked multiplicative smoothing (cell 10) with its
+    quirks: the previous-pixel term resets every ``chunk`` pixels and its
+    argmin is clamped to ``min(prev, size)`` where size is the CURRENT
+    pixel's candidate count; previous-row weighting is row-global. The
+    in-chunk recurrence runs Jacobi sweeps to the fixpoint (exact; chains
+    cannot cross chunk resets, so <= chunk sweeps)."""
+    h, D, w = cost.shape
+    chunk = config.chunk
+    bias, sigma = config.smoothing_bias, config.smoothing_sigma
+    xs = jnp.arange(w)
+    sizes = jnp.minimum(D, w - xs)
+    dvals = jnp.arange(D, dtype=jnp.float32)
+    pos_in_chunk = xs % chunk
 
     def row_step(prev_disp, inputs):
-        y, first = inputs
-        cost_row = row_cost(y)
+        cost_row, first = inputs
         up = (1.0 - jnp.exp(-jnp.abs(dvals[:, None] - prev_disp[None, :])
                             / sigma)) + bias
         cu = cost_row * jnp.where(first, 1.0, up)
@@ -298,7 +342,18 @@ def windowed_lpips_search(
 
     first_flags = jnp.zeros((h,), bool).at[0].set(True)
     _, disp = lax.scan(
-        row_step, jnp.zeros((w,), jnp.float32),
-        (jnp.arange(h), first_flags),
-    )
+        row_step, jnp.zeros((w,), jnp.float32), (cost, first_flags))
     return disp
+
+
+def windowed_lpips_search(
+    params: Dict,
+    left: jnp.ndarray,      # (H, W, 3) RGB [0, 255]
+    right: jnp.ndarray,     # (H, W, 3)
+    config: PerceptualConfig = PerceptualConfig(),
+) -> jnp.ndarray:
+    """The notebook's per-window LPIPS search, notebook-exact semantics
+    (tests/test_perceptual.py pins 100% argmin agreement vs the literal
+    oracle): row-blocked batched cost volume + chunked smoothing scan."""
+    return windowed_smooth_argmin(
+        windowed_lpips_cost_volume(params, left, right, config), config)

@@ -113,11 +113,15 @@ def notebook_window_search(
     chunk: int = 20,
     smoothing_bias: float = 0.85,
     smoothing_sigma: float = 25.0,
+    n_rows: int | None = None,
 ) -> np.ndarray:
     """The notebook's full window search (cell 10), row by row.
 
     Returns (H, W) float disparity (argmin indices, like the notebook's
-    ``disparity_map``).
+    ``disparity_map``). ``n_rows`` limits the scan to the first rows —
+    EXACT for those rows (the recurrence only looks upward), used by
+    tools/perceptual_scale.py to measure per-row cost and prefix
+    agreement at image scale without paying for every row.
     """
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
@@ -128,7 +132,7 @@ def notebook_window_search(
     ]
 
     disparity = np.zeros((h, w), np.float32)
-    for y in range(h):
+    for y in range(h if n_rows is None else min(n_rows, h)):
         ls = _row_window_features(params, left, jnp.int32(y), window, padding)
         rs = _row_window_features(params, right, jnp.int32(y), window, padding)
         dist = np.asarray(_row_distance_matrix(ls, rs, lins))  # (W, W)

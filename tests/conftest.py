@@ -52,7 +52,25 @@ def middeval_root():
 
 
 def pytest_configure(config):
-    config.addinivalue_line("markers", "slow: long-running (interpret-mode kernels)")
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running (oracle comparisons, batch-pipeline compiles, "
+        "multihost subprocesses); skipped by default — set STPU_FULL_TESTS=1 "
+        "for the full tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers (VERDICT r3 item 9): the default run is the quick
+    tier (<= ~4 min on this 2-CPU host; live gates and exactness checks
+    all included); STPU_FULL_TESTS=1 adds the slow oracle/pipeline-scale
+    comparisons. CI / the driver run the quick tier; run the full tier
+    after touching the perceptual, batch-pipeline, or multihost code."""
+    if os.environ.get("STPU_FULL_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set STPU_FULL_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 def warn_if_stale_baseline(report: dict, name: str) -> None:

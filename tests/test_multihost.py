@@ -34,6 +34,9 @@ def test_weak_scaling_efficiency(report):
     eff = report["efficiency"]
     # north star: >= 80% at 2+ hosts
     assert eff["matcher_data_weak"] >= 0.8, eff
+    # ba_weak is the PRODUCTION pattern (B pairs' LMs share each
+    # iteration's fused psum, parallel/ba_dist.py
+    # distributed_bundle_adjust_batch) — gated at the north star
     assert eff["ba_weak"] >= 0.8, eff
 
 
@@ -48,10 +51,13 @@ def test_cross_process_correctness(report):
     # ppermute halos across process boundaries: gathered sharded disparity
     # agrees with the single-device matcher (warm-up truncation only)
     assert c["tile_agreement_vs_single_device"] >= 0.995, c
+    # wavefront-exact mode must be BIT-IDENTICAL across processes
+    assert c["tile_agreement_exact"] == 1.0, c
     # psum'd Middlebury metric == locally computed metric
     assert c["evaldisp_psum_abs_diff"] < 1e-3, c
-    # the distributed LM actually optimized
+    # the distributed LMs actually optimized
     assert c["ba_cost_ratio"] < 0.1, c
+    assert c["ba_batch_cost_ratio"] < 0.1, c
 
 
 def test_it_was_really_multiprocess(report):
@@ -72,14 +78,17 @@ def test_oversubscribed_groups(report):
         c = report[ck]
         # each extra tile adds a smoothing warm-up boundary, so the
         # truncation disagreement grows with n (0.998 at 2 tiles, 0.992
-        # at 4 on this workload)
+        # at 4 on this workload) — and the wavefront-exact mode closes it
+        # to bit-identity at every n (VERDICT r3 item 6)
         assert c["tile_agreement_vs_single_device"] >= 0.99, (n, c)
+        assert c["tile_agreement_exact"] == 1.0, (n, c)
         assert c["evaldisp_psum_abs_diff"] < 1e-3, (n, c)
         assert c["ba_cost_ratio"] < 0.1, (n, c)
         e = report[ek]
         assert e["matcher_data_weak"] >= 0.8 * e["core_ceiling"], (n, e)
-        # BA is a sequential chain of LM iterations each ending in a
-        # psum: with processes time-slicing cores, every collective eats
-        # an extra context switch on the critical path — measured 0.71 of
-        # the compute ceiling at 4 procs / 2 cores
-        assert e["ba_weak"] >= 0.6 * e["core_ceiling"], (n, e)
+        # production-pattern BA (B pairs per fused psum) restores the 0.8
+        # north-star margin even oversubscribed (VERDICT r3 item 7); the
+        # single-problem chain stays recorded as the worst case (0.71 of
+        # ceiling at 4 procs / 2 cores: one context switch per psum)
+        assert e["ba_weak"] >= 0.8 * e["core_ceiling"], (n, e)
+        assert e["ba_single_weak"] >= 0.6 * e["core_ceiling"], (n, e)

@@ -170,6 +170,7 @@ def test_pipeline_dispatch_perceptual(rng):
     assert disp.max() < 8
 
 
+@pytest.mark.slow
 def test_windowed_search_matches_notebook_oracle_exactly(params, rng):
     """windowed_lpips_search IS the notebook's per-window semantics as one
     device program (VERDICT r2 item 3): on a small pair with identical
@@ -200,6 +201,7 @@ def test_windowed_search_matches_notebook_oracle_exactly(params, rng):
     assert agree_exact >= 0.98, f"exact agreement only {agree_exact:.4f}"
 
 
+@pytest.mark.slow
 def test_perceptual_mode_dispatch(params, rng):
     """perceptual_window_search routes on config.mode."""
     from stereo_reconstruction_tpu.perceptual import windowed_lpips_search

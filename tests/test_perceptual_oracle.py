@@ -35,6 +35,7 @@ def test_weight_vector_matches_notebook_formula():
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_matcher_tracks_notebook_oracle_constant_shift():
     rng = np.random.default_rng(7)
     h, w, shift = 16, 32, 3   # h >= 16 keeps all 5 VGG stages non-empty

@@ -32,6 +32,7 @@ def cfg():
     )
 
 
+@pytest.mark.slow
 def test_batch_quality_on_real_pairs(teddy_ds2, cfg):
     res = run_batch([teddy_ds2, teddy_ds2], cfg)
     assert res.disparity.shape[0] == 2
@@ -57,6 +58,7 @@ def test_batch_failure_masking(teddy_ds2, cfg):
     assert res.metrics[0]["bad_percent"] < 25.0
 
 
+@pytest.mark.slow
 def test_batch_sharded_over_data_mesh(teddy_ds2, cfg):
     """The batched pipeline SPMD-partitions over a ('data',) mesh: same
     outputs as the unsharded batch (both device programs are pure vmaps
@@ -77,6 +79,7 @@ def test_batch_sharded_over_data_mesh(teddy_ds2, cfg):
     assert res_m.pose_ok.all()
 
 
+@pytest.mark.slow
 def test_run_batches_pipelined_matches_run_batch(teddy_ds2, cfg):
     """The software-pipelined multi-batch runner must produce the same
     results as sequential run_batch calls with fold_in(key, i) keys."""

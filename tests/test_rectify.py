@@ -88,6 +88,7 @@ def test_warp_matches_opencv_nearest(rng):
     assert mismatch < 0.02, f"{mismatch:.3%} nearest-neighbor mismatches"
 
 
+@pytest.mark.slow
 def test_rectify_pair_and_backwarp(rng):
     F, kp_l, kp_r, (h, w) = _synthetic_F(rng)
     img_l = jnp.asarray(rng.integers(0, 255, (h, w, 3), np.uint8))

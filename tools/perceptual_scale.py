@@ -1,0 +1,170 @@
+#!/usr/bin/env python3
+"""Perceptual window search AT IMAGE SCALE on TPU (VERDICT r3 item 3).
+
+The crop parity run (tools/perceptual_parity.py) proves the windowed
+backend's notebook-exactness; this tool proves its PERFORMANCE at real
+size: Teddy trainingQ (375 x 450), D = 100, both perceptual modes timed
+on the TPU, against the literal notebook oracle's measured per-row CPU
+cost extrapolated to the full image (the oracle is the reference's own
+execution model — a Python row loop of per-window VGG forwards,
+notebook cells 6-10; running every row would take hours, and the
+recurrence only looks upward, so a prefix run is exact for its rows).
+
+Records into baselines/perceptual_parity.json under "image_scale":
+  * windowed_tpu_s / full_image_tpu_s — steady-state per-image seconds
+    (min over input-perturbed reps; the axon relay dedupes identical
+    executions, so inputs vary per rep);
+  * oracle_row_s / oracle_extrapolated_s — measured oracle per-row cost
+    (compile excluded) x H;
+  * speedup_vs_oracle + the VERDICT criterion windowed <= oracle x 0.1;
+  * prefix_agreement_pct — windowed-TPU vs oracle on the oracle's rows
+    (cross-backend conv numerics may flip rare argmin ties; the
+    exactness GATE stays the same-backend crop test,
+    tests/test_perceptual.py).
+
+Usage: python tools/perceptual_scale.py          (TPU via default env)
+       --oracle-child is internal (CPU subprocess).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+sys.path.insert(0, REPO)
+
+DATA_ROOT = "/root/reference/data/MiddEval3"
+D = 100
+ORACLE_ROWS = 6
+
+
+def _load_pair():
+    from stereo_reconstruction_tpu.data import MiddEval3
+    from stereo_reconstruction_tpu.data.middeval3 import downsample_pair
+
+    pair = downsample_pair(MiddEval3(DATA_ROOT).load_training(13))  # Teddy Q
+    L = np.asarray(pair.image_left, np.float32)
+    R = np.asarray(pair.image_right, np.float32)
+    return L, R
+
+
+def oracle_child(n_rows: int, out_path: str) -> None:
+    """CPU subprocess: oracle prefix rows + per-row timing."""
+    from stereo_reconstruction_tpu.perceptual import get_params
+    from stereo_reconstruction_tpu.perceptual.notebook_oracle import (
+        notebook_window_search,
+    )
+
+    L, R = _load_pair()
+    params = get_params()
+    t0 = time.time()
+    notebook_window_search(params, L, R, max_disparity=D, n_rows=1)
+    t_first = time.time() - t0                       # compile + row 0
+    t0 = time.time()
+    rows = notebook_window_search(params, L, R, max_disparity=D,
+                                  n_rows=n_rows)
+    t_n = time.time() - t0
+    # the first (n_rows=1) call compiled the row programs, so t_n is all
+    # warm row work
+    per_row = t_n / n_rows
+    np.savez(out_path, rows=rows[:n_rows], per_row_marginal_s=per_row,
+             t_first_s=t_first, t_n_s=t_n)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--oracle-child", type=int, default=None)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--rows", type=int, default=ORACLE_ROWS)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-oracle", action="store_true")
+    args = ap.parse_args()
+
+    if args.oracle_child is not None:
+        oracle_child(args.oracle_child, args.out)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
+    from stereo_reconstruction_tpu.config import PerceptualConfig
+    from stereo_reconstruction_tpu.perceptual import (
+        get_params,
+        perceptual_window_search,
+    )
+
+    L, R = _load_pair()
+    h, w = R.shape[:2]
+    params = get_params()
+    platform = jax.devices()[0].platform
+    results = {"scene": f"Teddy trainingQ full image {h}x{w}",
+               "max_disparity": D, "platform": platform}
+
+    disp_by_mode = {}
+    for mode in ("windowed", "full_image"):
+        cfg = PerceptualConfig(max_disparity=D, mode=mode)
+        t0 = time.time()
+        disp = np.asarray(perceptual_window_search(
+            params, jnp.asarray(L), jnp.asarray(R), cfg))
+        compile_s = time.time() - t0
+        best = np.inf
+        for k in range(1, args.reps + 1):
+            t0 = time.time()
+            out = perceptual_window_search(
+                params, jnp.asarray(L + k), jnp.asarray(R + k), cfg)
+            jax.block_until_ready(out)
+            best = min(best, time.time() - t0)
+        disp_by_mode[mode] = disp
+        results[f"{mode}_tpu_s"] = round(best, 2)
+        results[f"{mode}_compile_s"] = round(compile_s, 1)
+        print(f"{mode}: {best:.2f}s/image (compile {compile_s:.0f}s)",
+              flush=True)
+
+    if not args.skip_oracle:
+        out_npz = "/tmp/stpu_oracle_prefix.npz"
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--oracle-child", str(args.rows), "--out", out_npz],
+            check=True, env=env, cwd=REPO, timeout=3600)
+        data = np.load(out_npz)
+        per_row = float(data["per_row_marginal_s"])
+        oracle_rows = data["rows"]
+        agree = float(
+            (disp_by_mode["windowed"][:args.rows] == oracle_rows).mean())
+        results.update({
+            "oracle_rows_measured": args.rows,
+            "oracle_row_s": round(per_row, 2),
+            "oracle_extrapolated_s": round(per_row * h, 1),
+            "windowed_speedup_vs_oracle": round(
+                per_row * h / results["windowed_tpu_s"], 1),
+            "windowed_leq_oracle_x0.1": bool(
+                results["windowed_tpu_s"] <= 0.1 * per_row * h),
+            "prefix_agreement_pct": round(100.0 * agree, 2),
+        })
+
+    # merge into the parity baseline
+    path = os.path.join(REPO, "baselines", "perceptual_parity.json")
+    with open(path) as f:
+        report = json.load(f)
+    report["image_scale"] = results
+    try:
+        report["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True).stdout.strip()
+    except OSError:
+        pass
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
