@@ -74,23 +74,41 @@ def pytest_collection_modifyitems(config, items):
 
 
 def warn_if_stale_baseline(report: dict, name: str) -> None:
-    """Warn when a recorded baselines/*.json was generated at a different
-    git revision than HEAD (VERDICT r2 item 4: recorded artifacts must be
-    traceable to the code; live crop gates catch regressions, this makes
-    drift visible)."""
+    """Stale-artifact guard (VERDICT r2 item 4, hardened per r3 item 5):
+    a recorded baselines/*.json whose generating hash differs from HEAD
+    is a FAILURE when any generating code (the package or tools/) changed
+    between the two revisions — warnings don't regenerate artifacts.
+    Baselines-only commits after a refresh keep stamps valid (no
+    generating code in the diff). Unknown/missing hashes stay warnings
+    (e.g. a rebased history where the recorded hash no longer resolves)."""
     import warnings
 
     recorded = (report.get("_meta") or {}).get("git") or report.get("git")
+    repo = os.path.join(os.path.dirname(__file__), "..")
     try:
         head = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.join(os.path.dirname(__file__), ".."),
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
             capture_output=True, text=True).stdout.strip()
     except OSError:
         return
     if recorded is None:
         warnings.warn(f"{name}: no generating git hash recorded "
                       "(regenerate with the current tools)")
-    elif head and recorded != head:
-        warnings.warn(f"{name}: generated at {recorded}, HEAD is {head} "
-                      "(rerun the tool if relevant code changed)")
+        return
+    if not head or recorded == head:
+        return
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", f"{recorded}..HEAD", "--",
+         "stereo_reconstruction_tpu", "tools", "native"],
+        cwd=repo, capture_output=True, text=True)
+    if diff.returncode != 0:
+        warnings.warn(f"{name}: generated at {recorded} which HEAD's "
+                      "history cannot resolve — regenerate "
+                      "(tools/refresh_all.py)")
+        return
+    changed = [ln for ln in diff.stdout.splitlines() if ln.strip()]
+    if changed:
+        pytest.fail(
+            f"{name}: generated at {recorded} but generating code changed "
+            f"since ({len(changed)} files, e.g. {changed[:3]}) — rerun "
+            "tools/refresh_all.py and commit the regenerated artifacts")
