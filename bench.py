@@ -417,19 +417,19 @@ def main():
         from stereo_reconstruction_tpu.pipeline_batch import run_batches
         KB = 4
 
-        u8l = np.asarray(qpair.image_left).astype(np.uint8)
-        u8r = np.asarray(qpair.image_right).astype(np.uint8)
+        f32l = np.asarray(qpair.image_left, np.float32)
+        f32r = np.asarray(qpair.image_right, np.float32)
 
         def perturbed(k):
             # distinct pixels per batch (the relay dedupes identical
-            # executions) while KEEPING the uint8 upload dtype, so the
-            # device programs compiled by the batch_pipeline section are
-            # reused verbatim (an f32/f16 perturbation would force two
-            # fresh ~200 s relay compiles)
+            # executions); +0.25k keeps values f16-exact, so the upload
+            # dtype — and therefore the compiled device programs — match
+            # the batch_pipeline section exactly (a uint8 or plain-f32
+            # perturbation forces two fresh ~200 s relay compiles)
             return [dataclasses.replace(
                 qpair,
-                image_left=(u8l + np.uint8(k)),
-                image_right=(u8r + np.uint8(k)),
+                image_left=f32l + 0.25 * k,
+                image_right=f32r + 0.25 * k,
             )] * B
 
         run_batches([perturbed(k) for k in range(KB)], pcfg,
