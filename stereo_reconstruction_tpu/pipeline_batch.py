@@ -142,6 +142,22 @@ def _evaldisp_batch(disp, gt, mask, max_disp):
     )(disp, gt, mask, max_disp)
 
 
+_BAND_CACHE: Dict = {}
+
+
+def _sticky_band(key, band):
+    """Monotone per-process band-class cache (see _stage_host_geometry).
+    None (gather fallback) neither grows nor consults the cache — its
+    program is band-independent."""
+    if band is None:
+        return None
+    prev = _BAND_CACHE.get(key)
+    if prev is not None:
+        band = (max(band[0], prev[0]), max(band[1], prev[1]))
+    _BAND_CACHE[key] = band
+    return band
+
+
 @dataclasses.dataclass
 class _Staged:
     """Per-batch pipeline state across the dispatch/sync phases."""
@@ -257,6 +273,15 @@ def _stage_host_geometry(st: _Staged, config) -> None:
         band = None
     else:
         band = (2, 2)                                   # all-identity batch
+    # STICKY-MAX: ``band`` is a static arg of _dense_batch, so every new
+    # class is a fresh device compile (~400-600 s through the axon
+    # relay); per-batch pose jitter flips adjacent classes and stalled
+    # the software-pipelined runner for minutes per batch (r4 diag).
+    # Growing the class monotonically per (shapes, config) reuses the
+    # biggest-seen program — at most log2(max_class) compiles ever, and a
+    # slightly-too-wide band is still EXACT (the extra taps carry zero
+    # hat weight).
+    band = _sticky_band((st.hmax, st.wmax, canvas, config), band)
 
     t0 = time.perf_counter()
     st.disp_dev, st.disp_i16, st.depth = _dense_batch(

@@ -96,3 +96,18 @@ def test_run_batches_pipelined_matches_run_batch(teddy_ds2, cfg):
         assert piped[i].depth is None and seq.depth is not None
         for m_p, m_s in zip(piped[i].metrics, seq.metrics):
             assert m_p["bad_percent"] == m_s["bad_percent"]
+
+
+def test_sticky_band_monotone():
+    """The static warp-band class must grow monotonically per key: every
+    distinct class is a full device recompile of _dense_batch (~minutes
+    through the axon relay), and per-batch pose jitter flips adjacent
+    classes (r4 diag: 636 s dense_dispatch mid-stream)."""
+    from stereo_reconstruction_tpu.pipeline_batch import _sticky_band
+
+    k = ("test-sticky", 1)
+    assert _sticky_band(k, (2, 4)) == (2, 4)
+    assert _sticky_band(k, (4, 2)) == (4, 4)     # grows per axis
+    assert _sticky_band(k, None) is None         # gather fallback passthrough
+    assert _sticky_band(k, (2, 2)) == (4, 4)     # never shrinks
+    assert _sticky_band(("other", 2), (2, 2)) == (2, 2)   # keys independent
