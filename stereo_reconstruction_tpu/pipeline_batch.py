@@ -143,16 +143,26 @@ def _evaldisp_batch(disp, gt, mask, max_disp):
 
 
 _BAND_CACHE: Dict = {}
+_BAND_CLASSES = (2, 4, 8, 16, 32, 64)
 
 
 def _sticky_band(key, band):
     """Monotone per-process band-class cache (see _stage_host_geometry).
+    The FIRST band for a key is bumped one class up, so the per-batch
+    pose jitter that flips adjacent classes stays inside the
+    already-compiled program (a flip costs a fresh multi-minute relay
+    compile; an over-wide band costs a few extra zero-weight taps).
     None (gather fallback) neither grows nor consults the cache — its
     program is band-independent."""
     if band is None:
         return None
     prev = _BAND_CACHE.get(key)
-    if prev is not None:
+    if prev is None:
+        def bump(c):
+            i = _BAND_CLASSES.index(c)
+            return _BAND_CLASSES[min(i + 1, len(_BAND_CLASSES) - 1)]
+        band = (bump(band[0]), bump(band[1]))
+    else:
         band = (max(band[0], prev[0]), max(band[1], prev[1]))
     _BAND_CACHE[key] = band
     return band

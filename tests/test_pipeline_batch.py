@@ -106,8 +106,10 @@ def test_sticky_band_monotone():
     from stereo_reconstruction_tpu.pipeline_batch import _sticky_band
 
     k = ("test-sticky", 1)
-    assert _sticky_band(k, (2, 4)) == (2, 4)
-    assert _sticky_band(k, (4, 2)) == (4, 4)     # grows per axis
+    # first insertion bumps one class up per axis (jitter headroom)
+    assert _sticky_band(k, (2, 4)) == (4, 8)
+    assert _sticky_band(k, (4, 2)) == (4, 8)     # inside the bumped band
     assert _sticky_band(k, None) is None         # gather fallback passthrough
-    assert _sticky_band(k, (2, 2)) == (4, 4)     # never shrinks
-    assert _sticky_band(("other", 2), (2, 2)) == (2, 2)   # keys independent
+    assert _sticky_band(k, (8, 2)) == (8, 8)     # genuine growth still works
+    assert _sticky_band(k, (2, 2)) == (8, 8)     # never shrinks
+    assert _sticky_band(("other", 2), (64, 64)) == (64, 64)  # top class capped
