@@ -458,6 +458,73 @@ def main():
         rep.section("steady_batches", sec_steady_batches,
                     est_s=60 if cold else 30)
 
+    # ------------------- device-bound pipeline throughput (no relay)
+    def sec_device_pipeline():
+        """In-jit K-loop marginals of the two batched device programs:
+        the end-to-end throughput the CHIP sustains when transfers
+        overlap (the axon relay's 23 MB/s link transfer-binds the
+        system-level run_batches number; real TPU hosts move images at
+        GB/s, so the device-bound number is the portable one)."""
+        from stereo_reconstruction_tpu.pipeline_batch import (
+            _dense_batch,
+            _pose_batch,
+        )
+        from stereo_reconstruction_tpu.rectify.rectifier import static_canvas
+
+        hmax = h + (-h) % 8
+        wmax = w + (-w) % 128
+        Lp = np.zeros((hmax, wmax, 3), np.float32)
+        Rp = np.zeros((hmax, wmax, 3), np.float32)
+        Lp[:h, :w] = L
+        Rp[:h, :w] = R
+        Lb8 = jnp.stack([jnp.asarray(Lp)] * B)
+        Rb8 = jnp.stack([jnp.asarray(Rp)] * B)
+        KLb = jnp.stack([jnp.asarray(qpair.intrinsics_left)] * B)
+        KRb = jnp.stack([jnp.asarray(qpair.intrinsics_right)] * B)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(0), jnp.arange(B))
+        canvas = static_canvas((hmax, wmax), (hmax, wmax), pcfg.rectify)
+        Hn = np.eye(3, dtype=np.float32)
+        Hn[0, 2] = 1.5
+        Hb = jnp.stack([jnp.asarray(Hn)] * B)
+        ok = jnp.ones((B,), bool)
+
+        def marginal(make_body, K=3):
+            @jax.jit
+            def looped(k, off):
+                def body(i, acc):
+                    return acc + make_body(
+                        off + 0.25 * (1 + i.astype(jnp.float32)))
+                return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+            _ = float(looped(1, jnp.float32(-3.0)))
+            _ = float(looped(K, jnp.float32(-2.0)))
+            t1s, tKs = [], []
+            for r in range(args.reps):
+                off = jnp.float32(9.0 * (r + 1))
+                t0 = time.perf_counter()
+                _ = float(looped(1, off))
+                t1s.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                _ = float(looped(K, off + 300.0))
+                tKs.append(time.perf_counter() - t0)
+            return (min(tKs) - min(t1s)) / (K - 1)
+
+        pose_s = marginal(lambda off: _pose_batch(
+            keys, Lb8 + off, Rb8, KLb, KRb, pcfg
+        ).reproj_error_ba[0] + 0.0)
+        dense_s = marginal(lambda off: _dense_batch(
+            Lb8 + off, Rb8, Hb, Hb, KRb, ok, pcfg, canvas,
+            (hmax, wmax), (4, 8))[0][0, 0, 0])
+        rep.extra["device_pose_ms_per_pair"] = round(pose_s / B * 1000, 2)
+        rep.extra["device_dense_ms_per_pair"] = round(dense_s / B * 1000, 2)
+        rep.extra["device_pipeline_pairs_per_s"] = round(
+            B / (pose_s + dense_s), 2)
+
+    if pipeline_ok:
+        rep.section("device_pipeline", sec_device_pipeline,
+                    est_s=800 if cold else 60)
+
     # ------------------------------------------------------------- profile
     def sec_profile():
         trace_dir = "/tmp/stpu_trace"
