@@ -110,7 +110,7 @@ class Reporter:
         except Exception as e:  # noqa: BLE001 — evidence over purity
             secs[name] = {"status": "error",
                           "seconds": round(time.perf_counter() - t0, 1),
-                          "error": f"{type(e).__name__}: {e}"[:200]}
+                          "error": f"{type(e).__name__}: {e}"[:600]}
             ok = False
         self.flush()
         return ok
