@@ -97,9 +97,12 @@ def warn_if_stale_baseline(report: dict, name: str) -> None:
         return
     if not head or recorded == head:
         return
+    # scope: the package + native runtime + the recorder tools; the
+    # refresh driver and diag_* scripts never influence artifact content
     diff = subprocess.run(
         ["git", "diff", "--name-only", f"{recorded}..HEAD", "--",
-         "stereo_reconstruction_tpu", "tools", "native"],
+         "stereo_reconstruction_tpu", "tools", "native",
+         ":(exclude)tools/diag_*", ":(exclude)tools/refresh_all.py"],
         cwd=repo, capture_output=True, text=True)
     if diff.returncode != 0:
         warnings.warn(f"{name}: generated at {recorded} which HEAD's "

@@ -49,8 +49,10 @@ RECORDERS = [
      ["baselines/pose_profile.json"]),
     ("perceptual_scale", ["tools/perceptual_scale.py"], TPU_ENV, 3000,
      ["baselines/perceptual_parity.json"]),
-    ("config4", ["tools/config4_fullres.py"], TPU_ENV, 3000,
-     ["baselines/config4_fullres.json"]),
+    ("config4_mesh", ["tools/config4_fullres.py", "--mode", "cpu"],
+     CPU_ENV, 3000, ["baselines/config4_fullres.json"]),
+    ("config4_tpu", ["tools/config4_fullres.py", "--mode", "tpu"],
+     TPU_ENV, 3000, ["baselines/config4_fullres.json"]),
 ]
 
 
