@@ -168,9 +168,17 @@ def main():
                 downsample_pair
             pair = MiddEval3(DATA_ROOT).load_training(13)  # Teddy (real GT)
             if not args.full:
+                import dataclasses as _dc
+
                 qpair = downsample_pair(pair)   # trainingQ, north-star res
                 L = np.asarray(qpair.image_left, np.uint8)
                 R = np.asarray(qpair.image_right, np.uint8)
+                # uint8 pipeline inputs: the real MiddEval3 trainingQ
+                # dataset ships uint8 PNGs (the f32 quarter-integer means
+                # are our downsampler's artifact), and uint8 halves every
+                # host->device image transfer on the bandwidth-bound
+                # relay (pipeline_batch _compact_images keeps the dtype)
+                qpair = _dc.replace(qpair, image_left=L, image_right=R)
             else:
                 qpair = None
                 L = np.asarray(pair.image_left, np.uint8)[::2, ::2]
@@ -389,7 +397,23 @@ def main():
 
     # ------------------------------------- batched pipeline (B pairs, 2 progs)
     def sec_batch_pipeline():
+        from stereo_reconstruction_tpu import pipeline_batch as pb
         from stereo_reconstruction_tpu.pipeline_batch import run_batch
+        from stereo_reconstruction_tpu.rectify.rectifier import \
+            static_canvas
+
+        # pre-seed the sticky warp-band class at a pessimistic (8, 16):
+        # every distinct class is a fresh multi-minute relay compile of
+        # the dense program, and per-batch pose jitter can still grow
+        # past the auto-bumped first class mid-stream (r4d: 1880 s of
+        # steady-section recompiles). (8, 16) covers every rectification
+        # homography seen on this dataset; the extra taps are exact
+        # zero-weight work worth ~2 ms/batch.
+        hmax = h + (-h) % 8
+        wmax = w + (-w) % 128
+        canvas = static_canvas((hmax, wmax), (hmax, wmax), pcfg.rectify)
+        pb._BAND_CACHE[(hmax, wmax, canvas, pcfg)] = (8, 16)
+
         batch = [qpair] * B
         run_batch(batch, pcfg)               # compile pass
         t0 = time.perf_counter()
@@ -417,19 +441,19 @@ def main():
         from stereo_reconstruction_tpu.pipeline_batch import run_batches
         KB = 4
 
-        f32l = np.asarray(qpair.image_left, np.float32)
-        f32r = np.asarray(qpair.image_right, np.float32)
+        u8l = np.asarray(qpair.image_left, np.uint8)
+        u8r = np.asarray(qpair.image_right, np.uint8)
 
         def perturbed(k):
             # distinct pixels per batch (the relay dedupes identical
-            # executions); +0.25k keeps values f16-exact, so the upload
-            # dtype — and therefore the compiled device programs — match
-            # the batch_pipeline section exactly (a uint8 or plain-f32
-            # perturbation forces two fresh ~200 s relay compiles)
+            # executions); the uint8 wraparound add keeps the upload
+            # dtype — and therefore the compiled device programs —
+            # matching the batch_pipeline section exactly (a dtype
+            # change forces two fresh ~200 s relay compiles)
             return [dataclasses.replace(
                 qpair,
-                image_left=f32l + 0.25 * k,
-                image_right=f32r + 0.25 * k,
+                image_left=u8l + np.uint8(k + 1),
+                image_right=u8r + np.uint8(k + 1),
             )] * B
 
         run_batches([perturbed(k) for k in range(KB)], pcfg,
@@ -515,7 +539,7 @@ def main():
         ).reproj_error_ba[0] + 0.0)
         dense_s = marginal(lambda off: _dense_batch(
             Lb8 + off, Rb8, Hb, Hb, KRb, ok, pcfg, canvas,
-            (hmax, wmax), (4, 8))[0][0, 0, 0])
+            (hmax, wmax), (8, 16))[0][0, 0, 0])
         rep.extra["device_pose_ms_per_pair"] = round(pose_s / B * 1000, 2)
         rep.extra["device_dense_ms_per_pair"] = round(dense_s / B * 1000, 2)
         rep.extra["device_pipeline_pairs_per_s"] = round(

@@ -97,12 +97,25 @@ def warn_if_stale_baseline(report: dict, name: str) -> None:
         return
     if not head or recorded == head:
         return
-    # scope: the package + native runtime + the recorder tools; the
-    # refresh driver and diag_* scripts never influence artifact content
+    # scope: the package + native runtime + THE artifact's own recorder
+    # tool(s) — an edit to one recorder must not re-stale every other
+    # artifact, and the refresh driver / diag_* scripts never influence
+    # artifact content at all
+    generators = {
+        "MULTIHOST.json": ["tools/multihost_bench.py"],
+        "SCALING.json": ["tools/scaling_bench.py"],
+        "full_eval.json": ["tools/full_eval.py",
+                           "tools/reference_baseline.py"],
+        "perceptual_parity.json": ["tools/perceptual_parity.py",
+                                   "tools/perceptual_scale.py"],
+        "uncalibrated_eval.json": ["tools/uncalibrated_eval.py"],
+        "config4_fullres.json": ["tools/config4_fullres.py"],
+        "pose_profile.json": ["tools/profile_pose.py"],
+    }
+    scope = (["stereo_reconstruction_tpu", "native"]
+             + generators.get(os.path.basename(name), ["tools"]))
     diff = subprocess.run(
-        ["git", "diff", "--name-only", f"{recorded}..HEAD", "--",
-         "stereo_reconstruction_tpu", "tools", "native",
-         ":(exclude)tools/diag_*", ":(exclude)tools/refresh_all.py"],
+        ["git", "diff", "--name-only", f"{recorded}..HEAD", "--"] + scope,
         cwd=repo, capture_output=True, text=True)
     if diff.returncode != 0:
         warnings.warn(f"{name}: generated at {recorded} which HEAD's "

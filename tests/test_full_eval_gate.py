@@ -71,14 +71,21 @@ def test_matcher_parity_all_scenes(fixture):
 
 
 def test_gt_scenes_beat_reference_baseline(fixture):
+    """Both pipelines are RANSAC-seed stochastic (ArtL spans 58.4..62.6
+    over 4 seeds); the +-0.5pp budget therefore gates 3-seed MEDIANS
+    against each other, falling back to the single recorded draw for
+    artifacts that predate the multi-seed recording."""
     for name in ("Teddy", "ArtL"):
         rec = fixture[name]
-        ref = rec["baseline"]["metrics_gt"]
-        ours = rec["ssd"].get("metrics_gt")
-        assert ours, f"{name}: no GT metrics for the framework run"
-        assert ours["bad_percent"] <= ref["bad_percent"] + BUDGET_PP, (
-            f"{name}: bad-2.0 {ours['bad_percent']:.2f}% vs reference "
-            f"{ref['bad_percent']:.2f}%"
+        b = rec["baseline"]
+        s = rec["ssd"]
+        ref = b.get("bad2_gt_median",
+                    (b.get("metrics_gt") or {}).get("bad_percent"))
+        ours = s.get("bad2_gt_median",
+                     (s.get("metrics_gt") or {}).get("bad_percent"))
+        assert ours is not None, f"{name}: no GT metrics for the run"
+        assert ours <= ref + BUDGET_PP, (
+            f"{name}: median bad-2.0 {ours:.2f}% vs reference {ref:.2f}%"
         )
 
 

@@ -192,6 +192,29 @@ def main():
             rec["baseline"] = {"error": str(e)}
         print(f"  baseline: {time.time()-t0:.0f}s", flush=True)
 
+        # GT scenes: BOTH pipelines are seed-stochastic (RANSAC draws move
+        # bad-2.0 by several pp on hard scenes — ArtL spans 58.4..62.6
+        # over 4 seeds), so a single-draw-vs-single-draw +-0.5pp gate is
+        # noise; record 3-seed MEDIANS on each side for the GT gate.
+        if brec is not None and brec.get("metrics"):
+            from reference_baseline import run_reference_baseline
+
+            bb = [float(brec["metrics"]["bad_percent"])]
+            for s_extra in (1, 2):
+                try:
+                    _, _, m_s = run_reference_baseline(
+                        pair, downsample=1, seed=s_extra)
+                    if m_s:
+                        bb.append(float(m_s["bad_percent"]))
+                except Exception as e:
+                    print(f"  baseline seed {s_extra} FAILED: {e}",
+                          flush=True)
+            rec["baseline"]["bad2_gt_seeds"] = [round(v, 3) for v in bb]
+            rec["baseline"]["bad2_gt_median"] = float(np.median(bb))
+            print(f"  baseline 3-seed bad2: {rec['baseline']['bad2_gt_seeds']}"
+                  f" median {rec['baseline']['bad2_gt_median']:.2f}",
+                  flush=True)
+
         # matcher parity: identical rectified input (from the baseline's
         # pose + Loop-Zhang homographies + cv2 warps) -> our matcher vs
         # the exact reference-semantics oracle. This isolates the dense
@@ -244,6 +267,19 @@ def main():
                     for k in ("bad_percent", "invalid_percent",
                               "total_bad_percent", "avg_err")
                 }
+                # 3-seed median (see the baseline-side comment above)
+                seeds_bad = [entry["metrics_gt"]["bad_percent"]]
+                for s_extra in (1, 2):
+                    try:
+                        res_s = run_pair(pair, cfg.replace(seed=s_extra))
+                        if "bad_percent" in res_s.metrics:
+                            seeds_bad.append(
+                                float(res_s.metrics["bad_percent"]))
+                    except Exception as e:
+                        print(f"  {cname} seed {s_extra} FAILED: {e}",
+                              flush=True)
+                entry["bad2_gt_seeds"] = [round(v, 3) for v in seeds_bad]
+                entry["bad2_gt_median"] = float(np.median(seeds_bad))
             if bdisp is not None:
                 # parity vs the reference reproduction's own output
                 mask = np.where(bdisp > 0, 255, 0).astype(np.uint8)
