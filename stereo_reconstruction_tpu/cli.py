@@ -59,7 +59,7 @@ def main(argv=None):
     rect_p.add_argument("--scenario", type=int, default=13)
     rect_p.add_argument("--split", default="training", choices=["training", "test"])
     rect_p.add_argument("--out", default="results/rectified")
-    rect_p.add_argument("--detector", default="orb", choices=["orb", "dog"])
+    rect_p.add_argument("--detector", default="orb", choices=["orb", "brisk", "dog"])
     rect_p.add_argument("--downsample", type=int, default=1)
     rect_p.add_argument("--max-disparity", type=int, default=200)
 

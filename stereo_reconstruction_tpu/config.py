@@ -49,6 +49,29 @@ class OrbConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class BriskConfig:
+    """BRISK-style binary frontend — the reference's alternative detector
+    (rectification_main.cpp:46-51: cv::BRISK::create(30, 3, 1.0f)).
+
+    Scale space is the BRISK octave/intra-octave ladder (scales 2^i and
+    1.5*2^i); saliency is the FAST score (largest threshold at which the
+    segment test still fires). The descriptor is the paper's concentric
+    ring pattern: 60 Gaussian-smoothed samples, long-distance pairs vote
+    the orientation, short-distance pairs form the bitstring. Deviations
+    from cv::BRISK (documented in PARITY.md): no continuous-scale
+    parabola refinement — layer-local 3x3 NMS + global top-K saliency
+    selection, same policy as the ORB path."""
+
+    max_keypoints: int = 500
+    threshold: float = 30.0           # AGAST/FAST threshold (DN)
+    octaves: int = 3                  # cv::BRISK octaves
+    pattern_scale: float = 1.0        # cv::BRISK patternScale
+    fast_arc: int = 9                 # contiguous-arc length (FAST-9/16)
+    edge_margin: int = 16             # pattern extent (9.18) + 3*sigma + FAST r
+    max_bits: int = 512               # cap on short-pair descriptor bits
+
+
+@dataclasses.dataclass(frozen=True)
 class RansacConfig:
     """Parallel-hypothesis RANSAC for the eight-point solve.
 
@@ -179,6 +202,7 @@ class ShardingConfig:
 class PipelineConfig:
     frontend: FrontendConfig = FrontendConfig()
     orb: OrbConfig = OrbConfig()
+    brisk: BriskConfig = BriskConfig()
     ransac: RansacConfig = RansacConfig()
     ba: BundleAdjustmentConfig = BundleAdjustmentConfig()
     rectify: RectifyConfig = RectifyConfig()

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from stereo_reconstruction_tpu.config import OrbConfig
+from stereo_reconstruction_tpu.config import BriskConfig, OrbConfig
 from stereo_reconstruction_tpu.ops.features import (
     Keypoints,
     gaussian_blur,
@@ -152,6 +152,190 @@ def _level_keypoints(img, scale: float, config: OrbConfig, K: int):
     smooth = gaussian_blur(img, 2.0)
     pattern = jnp.asarray(_brief_pattern(config.num_bits, config.patch_size))
     desc = _rbrief(smooth, yi, xi, ori, pattern)
+
+    xy = jnp.stack([xi.astype(jnp.float32) * scale,
+                    yi.astype(jnp.float32) * scale], axis=-1)
+    scl = jnp.full((K,), scale, jnp.float32)
+    return xy, flat[top], ori, desc, valid, scl
+
+
+# ---------------------------------------------------------------------------
+# BRISK-style frontend (reference rectification_main.cpp:46-51:
+# cv::BRISK::create(30, 3, 1.0f)). Same dense array-program stance as the
+# ORB path above: FAST runs on every pixel of every scale-space layer at
+# once; the descriptor's 60 ring samples are bilinear gathers from a
+# 5-plane Gaussian blur stack (one blur per ring sigma) — no per-keypoint
+# image patches, no data-dependent shapes.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _brisk_pattern(pattern_scale: float, max_bits: int):
+    """The BRISK sampling pattern (Leutenegger et al. 2011, Fig. 4, as
+    parameterized by cv::BRISK): 60 points on concentric rings
+    radii = 0.85*patternScale*{0, 2.9, 4.9, 7.4, 10.8} with
+    {1, 10, 14, 15, 20} points; per-point Gaussian sigma proportional to
+    the in-ring point spacing; short pairs (dist < 5.85*patternScale)
+    form the descriptor bits, long pairs (dist > 8.2*patternScale) vote
+    the orientation.
+
+    Returns numpy constants (pattern is static; baked into the jit):
+      pts (60, 2) [y, x], ring (60,) int, ring_sigmas (5,),
+      short (S, 2) index pairs, long (L, 2) index pairs,
+      long_dir (L, 2) unit [y, x] / |p_j - p_i| factors.
+    """
+    f = 0.85 * pattern_scale
+    radii = np.array([0.0, 2.9, 4.9, 7.4, 10.8], np.float64) * f
+    counts = [1, 10, 14, 15, 20]
+    pts, ring = [], []
+    ring_sigmas = []
+    for ri, (r, n) in enumerate(zip(radii, counts)):
+        sigma = 0.5 if r == 0.0 else max(0.5, r * np.sin(np.pi / n))
+        ring_sigmas.append(sigma)
+        for k in range(n):
+            th = 2.0 * np.pi * k / n + (np.pi / n if ri % 2 else 0.0)
+            pts.append((r * np.sin(th), r * np.cos(th)))
+            ring.append(ri)
+    pts = np.asarray(pts, np.float32)                     # (60, 2) [y, x]
+    ring = np.asarray(ring, np.int32)
+
+    ii, jj = np.triu_indices(len(pts), 1)
+    d = pts[jj] - pts[ii]                                 # (P, 2)
+    dist = np.linalg.norm(d, axis=1)
+    d_max = 5.85 * pattern_scale                          # short-pair cutoff
+    d_min = 8.2 * pattern_scale                           # long-pair cutoff
+    short_sel = np.flatnonzero(dist < d_max)
+    short_sel = short_sel[np.argsort(dist[short_sel], kind="stable")][:max_bits]
+    long_sel = np.flatnonzero(dist > d_min)
+    short = np.stack([ii[short_sel], jj[short_sel]], 1).astype(np.int32)
+    long_ = np.stack([ii[long_sel], jj[long_sel]], 1).astype(np.int32)
+    long_dir = (d[long_sel] / (dist[long_sel, None] ** 2)).astype(np.float32)
+    return pts, ring, np.asarray(ring_sigmas, np.float32), short, long_, long_dir
+
+
+def _fast_score(diff: jnp.ndarray, arc: int) -> jnp.ndarray:
+    """FAST saliency: the largest threshold t at which the segment test
+    still fires = max over the 16 circular arc windows of the windowed
+    MIN of (brighter: s - p, darker: p - s). ``diff`` is (16, H, W)."""
+    scores = []
+    for sign in (1.0, -1.0):
+        b = jnp.concatenate([sign * diff, sign * diff[: arc - 1]], axis=0)
+        mins = [
+            jnp.min(lax.dynamic_slice_in_dim(b, s, arc, 0), axis=0)
+            for s in range(diff.shape[0])
+        ]
+        scores.append(jnp.max(jnp.stack(mins), axis=0))
+    return jnp.maximum(scores[0], scores[1])
+
+
+def _bilinear_planes(stack, plane, sy, sx):
+    """Bilinear sample of (P, H, W) ``stack`` where each sample point i
+    reads plane ``plane[i]`` (static int array baked per pattern)."""
+    _, h, w = stack.shape
+    x0 = jnp.floor(sx); y0 = jnp.floor(sy)
+    fx = sx - x0; fy = sy - y0
+    x0 = jnp.clip(x0.astype(jnp.int32), 0, w - 2)
+    y0 = jnp.clip(y0.astype(jnp.int32), 0, h - 2)
+    v00 = stack[plane, y0, x0]; v01 = stack[plane, y0, x0 + 1]
+    v10 = stack[plane, y0 + 1, x0]; v11 = stack[plane, y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def detect_and_describe_brisk(
+    image: jnp.ndarray,                   # (H, W, 3) or (H, W), 0..255
+    config: BriskConfig = BriskConfig(),
+) -> Keypoints:
+    gray = rgb_to_gray(image)
+    h, w = gray.shape
+    K = config.max_keypoints
+    pattern = _brisk_pattern(float(config.pattern_scale), int(config.max_bits))
+
+    # octave/intra-octave ladder: scales 2^i and 1.5 * 2^i
+    scales = []
+    for i in range(config.octaves):
+        scales += [2.0 ** i, 1.5 * 2.0 ** i]
+    per_level = []
+    for scale in scales:
+        lh, lw = int(round(h / scale)), int(round(w / scale))
+        if lh < 2 * config.edge_margin + 8 or lw < 2 * config.edge_margin + 8:
+            break
+        img = gray if scale == 1.0 else jax.image.resize(gray, (lh, lw), "linear")
+        per_level.append(_brisk_level(img, float(scale), config, K, pattern))
+
+    xy = jnp.concatenate([c[0] for c in per_level])
+    resp = jnp.concatenate([c[1] for c in per_level])
+    ori = jnp.concatenate([c[2] for c in per_level])
+    desc = jnp.concatenate([c[3] for c in per_level])
+    valid = jnp.concatenate([c[4] for c in per_level])
+    scl = jnp.concatenate([c[5] for c in per_level])
+
+    score = jnp.where(valid, resp, -jnp.inf)
+    top = jnp.argsort(-score)[:K]
+    return Keypoints(
+        xy=xy[top], scale=scl[top], response=resp[top],
+        orientation=ori[top], descriptors=desc[top], valid=valid[top],
+    )
+
+
+def _brisk_level(img, scale: float, config: BriskConfig, K: int, pattern):
+    pts, ring, ring_sigmas, short, long_, long_dir = pattern
+    lh, lw = img.shape
+
+    # --- FAST-16 with saliency = max surviving threshold ----------------
+    shifted = jnp.stack(
+        [jnp.roll(img, (-dy, -dx), axis=(0, 1)) for dy, dx in _FAST_OFFSETS]
+    )
+    saliency = _fast_score(shifted - img[None], config.fast_arc)
+
+    m = config.edge_margin
+    ys, xs = jnp.arange(lh), jnp.arange(lw)
+    interior = (
+        (ys[:, None] >= m) & (ys[:, None] < lh - m)
+        & (xs[None, :] >= m) & (xs[None, :] < lw - m)
+    )
+    resp = jnp.where(interior & (saliency > config.threshold), saliency, -jnp.inf)
+    local_max = lax.reduce_window(
+        resp, -jnp.inf, lax.max, (3, 3), (1, 1), "SAME"
+    )
+    resp = jnp.where((resp == local_max) & jnp.isfinite(resp), resp, -jnp.inf)
+
+    flat = resp.reshape(-1)
+    top = jnp.argsort(-flat)[:K]
+    valid = jnp.isfinite(flat[top])
+    yi, xi = jnp.unravel_index(top, resp.shape)
+
+    # --- per-ring Gaussian blur stack (descriptor smoothing) ------------
+    blurs = jnp.stack([gaussian_blur(img, float(s)) for s in ring_sigmas])
+    plane = jnp.asarray(ring)
+    py, px = jnp.asarray(pts[:, 0]), jnp.asarray(pts[:, 1])
+    li, lj = jnp.asarray(long_[:, 0]), jnp.asarray(long_[:, 1])
+    gdir = jnp.asarray(long_dir)                          # (L, 2) [y, x]/d^2
+    si, sj = jnp.asarray(short[:, 0]), jnp.asarray(short[:, 1])
+
+    def one(y, x):
+        yf = y.astype(jnp.float32); xf = x.astype(jnp.float32)
+        v0 = _bilinear_planes(
+            blurs, plane,
+            jnp.clip(yf + py, 0.0, lh - 2.0), jnp.clip(xf + px, 0.0, lw - 2.0),
+        )
+        # orientation: g = mean over long pairs of (I_j - I_i) (p_j - p_i)/d^2
+        dv = v0[lj] - v0[li]                              # (L,)
+        g = jnp.mean(dv[:, None] * gdir, axis=0)          # (2,) [gy, gx]
+        theta = jnp.arctan2(g[0], g[1])
+        # rotate the pattern by theta, resample, compare short pairs
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        ry = st * px + ct * py
+        rx = ct * px - st * py
+        v1 = _bilinear_planes(
+            blurs, plane,
+            jnp.clip(yf + ry, 0.0, lh - 2.0), jnp.clip(xf + rx, 0.0, lw - 2.0),
+        )
+        bits = (v1[sj] > v1[si]).astype(jnp.float32)      # (S,)
+        return theta, bits
+
+    ori, desc = jax.vmap(one)(yi, xi)
 
     xy = jnp.stack([xi.astype(jnp.float32) * scale,
                     yi.astype(jnp.float32) * scale], axis=-1)

@@ -21,7 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from stereo_reconstruction_tpu.config import PipelineConfig
-from stereo_reconstruction_tpu.ops.binary_features import detect_and_describe_orb
+from stereo_reconstruction_tpu.ops.binary_features import (
+    detect_and_describe_brisk,
+    detect_and_describe_orb,
+)
 from stereo_reconstruction_tpu.ops.features import detect_and_describe
 from stereo_reconstruction_tpu.ops.linear_search import linear_search
 from stereo_reconstruction_tpu.ops.matching import (
@@ -58,15 +61,21 @@ def run_uncalibrated(
 ) -> UncalibratedResult:
     """``detector``: "orb" = binary FAST/rBRIEF + brute-force Hamming
     cross-check (the reference's default, rectification_main.cpp:126-129);
-    "dog" = the calibrated path's DoG/SIFT frontend + L2 ratio matching.
+    "brisk" = the reference's alternative detector
+    (rectification_main.cpp:46-51), ring-pattern 512-bit descriptors with
+    the same Hamming matching; "dog" = the calibrated path's DoG/SIFT
+    frontend + L2 ratio matching.
 
     ``output_dir``: when given, writes the rectified pair with rendered
     epilines + the disparity map as PNGs (rectification_main.cpp:204-214).
     """
     key = jax.random.key(config.seed) if key is None else key
-    if detector == "orb":
-        kp_l = detect_and_describe_orb(jnp.asarray(image_left), config.orb)
-        kp_r = detect_and_describe_orb(jnp.asarray(image_right), config.orb)
+    if detector in ("orb", "brisk"):
+        detect = (detect_and_describe_orb if detector == "orb"
+                  else detect_and_describe_brisk)
+        cfg = config.orb if detector == "orb" else config.brisk
+        kp_l = detect(jnp.asarray(image_left), cfg)
+        kp_r = detect(jnp.asarray(image_right), cfg)
         matches = match_descriptors_binary(kp_l, kp_r)
     else:
         kp_l = detect_and_describe(jnp.asarray(image_left), config.frontend)

@@ -9,8 +9,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from stereo_reconstruction_tpu.config import OrbConfig
-from stereo_reconstruction_tpu.ops.binary_features import detect_and_describe_orb
+from stereo_reconstruction_tpu.config import BriskConfig, OrbConfig
+from stereo_reconstruction_tpu.ops.binary_features import (
+    _brisk_pattern,
+    detect_and_describe_brisk,
+    detect_and_describe_orb,
+)
 from stereo_reconstruction_tpu.ops.features import Keypoints
 from stereo_reconstruction_tpu.ops.matching import match_descriptors_binary
 
@@ -90,6 +94,78 @@ def test_translation_matching():
     disp = np.asarray(m.left_xy)[v] - np.asarray(m.right_xy)[v]
     good = (np.abs(disp[:, 0] - dx) < 1.5) & (np.abs(disp[:, 1]) < 1.5)
     assert good.mean() > 0.6
+
+
+# --- BRISK variant (reference rectification_main.cpp:46-51) ----------------
+
+BRISK_CFG = BriskConfig(max_keypoints=256, octaves=1)
+
+
+def test_brisk_pattern_geometry():
+    """60 points on the paper's ring ladder; short/long pair split at the
+    cv::BRISK cutoffs (dMax 5.85, dMin 8.2 at patternScale 1)."""
+    pts, ring, sigmas, short, long_, long_dir = _brisk_pattern(1.0, 512)
+    assert pts.shape == (60, 2) and ring.shape == (60,)
+    assert sigmas.shape == (5,) and (sigmas >= 0.5).all()
+    d_short = np.linalg.norm(pts[short[:, 1]] - pts[short[:, 0]], axis=1)
+    d_long = np.linalg.norm(pts[long_[:, 1]] - pts[long_[:, 0]], axis=1)
+    assert (d_short < 5.85).all() and (d_long > 8.2).all()
+    assert 128 <= len(short) <= 512 and len(long_) > 100
+    # orientation factors are (p_j - p_i)/|p_j - p_i|^2
+    np.testing.assert_allclose(
+        np.linalg.norm(long_dir, axis=1), 1.0 / d_long, rtol=1e-5)
+
+
+def test_brisk_detects_square_corners():
+    img = np.zeros((96, 96), np.float32)
+    img[40:72, 40:72] = 200.0
+    kp = detect_and_describe_brisk(
+        jnp.asarray(img), BriskConfig(max_keypoints=32, octaves=1))
+    xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
+    assert len(xy) >= 4
+    corners = np.array([[40, 40], [71, 40], [40, 71], [71, 71]], np.float32)
+    for c in corners:
+        assert np.min(np.linalg.norm(xy - c, axis=1)) < 3.0
+
+
+def test_brisk_translation_matching():
+    base = _texture(160, 224, seed=11)
+    dx = 7
+    left = base[16:144, 16:208]
+    right = base[16:144, 16 + dx : 208 + dx]
+    kl = detect_and_describe_brisk(jnp.asarray(left), BRISK_CFG)
+    kr = detect_and_describe_brisk(jnp.asarray(right), BRISK_CFG)
+    m = match_descriptors_binary(kl, kr)
+    v = np.asarray(m.valid)
+    assert v.sum() >= 30
+    disp = np.asarray(m.left_xy)[v] - np.asarray(m.right_xy)[v]
+    good = (np.abs(disp[:, 0] - dx) < 1.5) & (np.abs(disp[:, 1]) < 1.5)
+    assert good.mean() > 0.6
+
+
+def test_brisk_orientation_rotates_descriptor():
+    img = _texture(128, 128, seed=13)[:128, :128]
+    rot = np.rot90(img).copy()
+    kp1 = detect_and_describe_brisk(jnp.asarray(img), BRISK_CFG)
+    kp2 = detect_and_describe_brisk(jnp.asarray(rot), BRISK_CFG)
+    m = match_descriptors_binary(kp1, kp2)
+    v = np.asarray(m.valid)
+    assert v.sum() >= 20
+    lx = np.asarray(m.left_xy)[v]
+    rx = np.asarray(m.right_xy)[v]
+    expect = np.stack([lx[:, 1], 127 - lx[:, 0]], axis=1)
+    good = np.linalg.norm(rx - expect, axis=1) < 2.0
+    assert good.mean() > 0.6
+
+
+def test_brisk_descriptor_binary_and_deterministic():
+    img = _texture(96, 96, seed=17)[:96, :96]
+    kp1 = detect_and_describe_brisk(jnp.asarray(img), BRISK_CFG)
+    kp2 = detect_and_describe_brisk(jnp.asarray(img), BRISK_CFG)
+    d = np.asarray(kp1.descriptors)
+    assert set(np.unique(d[np.asarray(kp1.valid)])) <= {0.0, 1.0}
+    np.testing.assert_array_equal(d, np.asarray(kp2.descriptors))
+    assert np.asarray(kp1.valid).sum() > 0
 
 
 def test_descriptor_binary_and_deterministic():
