@@ -40,12 +40,11 @@ the marginal per-step device time — the steady-state throughput a
 pipelined producer sees. extra.ms_per_pair_single_call records the
 per-call number (incl. relay) for comparability with round-1 records.
 
-MXU utilization (extra.measured_mxu) is *measured*, not hand-modeled:
-useful FLOPs are the XLA compiler's own cost analysis of the identical
-matcher step lowered through the pure-XLA backend (the Pallas kernel is
-a custom call the cost model can't see through; the XLA variant computes
-the same values), divided by the measured marginal step time and the
-chip's bf16 peak.
+Roofline (extra.roofline): the measured marginal ms/pair against the
+fused kernel's analytic HBM-bytes / VPU-ops / MXU-flops lower bounds
+(utils/roofline.py), with the binding resource named — the r2-r4
+"%-of-MXU-bf16-peak" headline was honest but meaningless for a kernel
+that is VPU/HBM-shaped by design.
 """
 
 import argparse
@@ -62,7 +61,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 TARGET_PAIRS_PER_S = 50.0  # BASELINE.json north_star
 DATA_ROOT = "/root/reference/data/MiddEval3"
-V5E_PEAK_BF16 = 197e12
 
 
 class Reporter:
@@ -130,9 +128,11 @@ def main():
     ap.add_argument("--loop", type=int, default=5,
                     help="in-jit matcher steps for steady-state timing")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_S", "1200")),
+                    default=float(os.environ.get("BENCH_BUDGET_S", "540")),
                     help="total wall-clock budget (s); later sections are "
-                         "skipped with a reason when it runs out")
+                         "skipped with a reason when it runs out. The "
+                         "default must FINISH inside the driver's kill "
+                         "window (r3+r4 artifacts were rc 124 at ~810 s)")
     ap.add_argument("--skip-pipeline", action="store_true",
                     help="skip the end-to-end pipeline measurements")
     ap.add_argument("--profile", action="store_true",
@@ -301,50 +301,18 @@ def main():
     rep.section("matcher_static", sec_matcher_static,
                 est_s=500 if cold else 30)
 
-    # --------------------------------- measured MXU utilization (r2 item 9)
-    def sec_mxu():
-        xcfg = dataclasses.replace(cfg, backend="xla")
-        one = jax.jit(lambda l, r: block_search_right(l, r, xcfg))
-        lowered = one.lower(
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-            jax.ShapeDtypeStruct((h, w, 3), jnp.float32))
-        ca, source = None, None
-        try:
-            ca = lowered.cost_analysis()
-            source = "lowered.cost_analysis"
-        except Exception:
-            ca = None
-        if ca is None:
-            # some backends (the axon relay) return None from the client
-            # analysis: lower for the in-process CPU backend instead —
-            # same HLO math, analyzed locally without a device compile
-            cpu_lowered = jax.jit(
-                lambda l, r: block_search_right(l, r, xcfg),
-                backend="cpu").lower(
-                jax.ShapeDtypeStruct((h, w, 3), jnp.float32),
-                jax.ShapeDtypeStruct((h, w, 3), jnp.float32))
-            ca = cpu_lowered.cost_analysis()
-            source = "cpu lowered.cost_analysis"
-        if isinstance(ca, list):
-            ca = ca[0]
-        if ca is None:
-            raise RuntimeError("cost_analysis unavailable on both backends")
-        flops = float(ca.get("flops", 0.0))
-        per_pair = state["per_pair"]
-        achieved = flops / per_pair
-        rep.extra["measured_mxu"] = {
-            "xla_counted_flops_per_pair": flops,
-            "measured_s_per_pair": round(per_pair, 6),
-            "achieved_useful_tflops": round(achieved / 1e12, 2),
-            "pct_of_v5e_bf16_peak": round(100 * achieved / V5E_PEAK_BF16, 2),
-            "flops_source": source,
-            "note": "useful FLOPs = XLA cost model of the identical "
-                    "matcher step on the pure-XLA backend (the Pallas "
-                    "custom call is opaque to the cost model); time = "
-                    "measured marginal step time of the production path",
-        }
+    # -------------------- analytic roofline of the fused matcher (r4 #4)
+    def sec_roofline():
+        """Measured ms/pair against the kernel's HBM/VPU/MXU lower bounds
+        (utils/roofline.py) with the binding resource named — replacing
+        the r2-r4 '%-of-MXU-bf16-peak' headline, which reads ~0 for a
+        VPU/HBM-shaped kernel no matter how good it is."""
+        from stereo_reconstruction_tpu.utils import roofline as rl
+        rep.extra["roofline"] = rl.report(
+            state["per_pair"] * 1000, h, w, cfg.max_disparity,
+            cfg.block_size)
 
-    rep.section("mxu_measured", sec_mxu, est_s=30 if cold else 10)
+    rep.section("roofline", sec_roofline, est_s=2)
 
     # -------------------------------------------------------- quality gate
     def sec_quality():
@@ -381,6 +349,22 @@ def main():
             recon=dataclasses.replace(pcfg.recon, outlier_kernel=251),
         )
 
+    def _preseed_band():
+        # pre-seed the sticky warp-band class at a pessimistic (8, 16):
+        # every distinct class is a fresh multi-minute relay compile of
+        # the dense program, and per-batch pose jitter can still grow
+        # past the auto-bumped first class mid-stream (r4d: 1880 s of
+        # steady-section recompiles). (8, 16) covers every rectification
+        # homography seen on this dataset; the extra taps are exact
+        # zero-weight work worth ~2 ms/batch.
+        from stereo_reconstruction_tpu import pipeline_batch as pb
+        from stereo_reconstruction_tpu.rectify.rectifier import \
+            static_canvas
+        hmax = h + (-h) % 8
+        wmax = w + (-w) % 128
+        canvas = static_canvas((hmax, wmax), (hmax, wmax), pcfg.rectify)
+        pb._BAND_CACHE[(hmax, wmax, canvas, pcfg)] = (8, 16)
+
     def sec_full_pipeline():
         from stereo_reconstruction_tpu.pipeline import run_pair
         run_pair(qpair, pcfg)                # compile pass
@@ -391,29 +375,10 @@ def main():
         rep.extra["full_pipeline_stages_ms"] = {
             k: round(v * 1000, 1) for k, v in res.timings.items()}
 
-    if pipeline_ok:
-        rep.section("full_pipeline", sec_full_pipeline,
-                    est_s=300 if cold else 40)
-
     # ------------------------------------- batched pipeline (B pairs, 2 progs)
     def sec_batch_pipeline():
-        from stereo_reconstruction_tpu import pipeline_batch as pb
         from stereo_reconstruction_tpu.pipeline_batch import run_batch
-        from stereo_reconstruction_tpu.rectify.rectifier import \
-            static_canvas
-
-        # pre-seed the sticky warp-band class at a pessimistic (8, 16):
-        # every distinct class is a fresh multi-minute relay compile of
-        # the dense program, and per-batch pose jitter can still grow
-        # past the auto-bumped first class mid-stream (r4d: 1880 s of
-        # steady-section recompiles). (8, 16) covers every rectification
-        # homography seen on this dataset; the extra taps are exact
-        # zero-weight work worth ~2 ms/batch.
-        hmax = h + (-h) % 8
-        wmax = w + (-w) % 128
-        canvas = static_canvas((hmax, wmax), (hmax, wmax), pcfg.rectify)
-        pb._BAND_CACHE[(hmax, wmax, canvas, pcfg)] = (8, 16)
-
+        _preseed_band()
         batch = [qpair] * B
         run_batch(batch, pcfg)               # compile pass
         t0 = time.perf_counter()
@@ -432,13 +397,10 @@ def main():
         rep.extra["batch_pipeline_pairs_per_s_nodepth"] = round(
             B / (time.perf_counter() - t0), 3)
 
-    if pipeline_ok:
-        rep.section("batch_pipeline", sec_batch_pipeline,
-                    est_s=300 if cold else 40)
-
     # ----------------------- steady-state software-pipelined batch stream
     def sec_steady_batches():
         from stereo_reconstruction_tpu.pipeline_batch import run_batches
+        _preseed_band()
         KB = 4
 
         u8l = np.asarray(qpair.image_left, np.uint8)
@@ -477,10 +439,6 @@ def main():
             rep.extra["steady_timing_noise"] = True
         rep.extra["steady_raw_s"] = {"t_1batch": round(t1, 3),
                                      "t_4batch": round(tK, 3)}
-
-    if pipeline_ok:
-        rep.section("steady_batches", sec_steady_batches,
-                    est_s=60 if cold else 30)
 
     # ------------------- device-bound pipeline throughput (no relay)
     def sec_device_pipeline():
@@ -545,9 +503,74 @@ def main():
         rep.extra["device_pipeline_pairs_per_s"] = round(
             B / (pose_s + dense_s), 2)
 
+    # ------------------------ config-2 matcher (the reference's own
+    # operating point: half resolution, D=200 — src/main.cpp:40; r4 #9)
+    def sec_halfres_matcher():
+        if args.full or state.get("pair") is None:
+            raise RuntimeError("needs full-res source images")
+        L2 = np.asarray(state["pair"].image_left, np.uint8)[::2, ::2]
+        R2 = np.asarray(state["pair"].image_right, np.uint8)[::2, ::2]
+        cfg2 = dataclasses.replace(cfg, max_disparity=200)
+        B2 = 4
+        L2b = jnp.stack([jnp.asarray(L2, jnp.float32)] * B2)
+        R2b = jnp.stack([jnp.asarray(R2, jnp.float32)] * B2)
+        step2 = jax.vmap(lambda l, r: block_search_right(l, r, cfg2))
+
+        @jax.jit
+        def looped2(k, off):
+            def body(i, acc):
+                d = step2(L2b + off + 0.25 * (1.0 + i.astype(jnp.float32)),
+                          R2b)
+                return acc + d[0, 0, 0] + d[-1, -1, -1]
+            return lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+        K = 3
+        t0 = time.perf_counter()
+        _ = float(looped2(1, jnp.float32(-4.0)))
+        compile2 = time.perf_counter() - t0
+        _ = float(looped2(K, jnp.float32(-3.0)))
+        t1s, tKs = [], []
+        for i in range(args.reps):
+            off = jnp.float32(13.0 * (i + 1))
+            t0 = time.perf_counter()
+            _ = float(looped2(1, off))
+            t1s.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _ = float(looped2(K, off + 500.0))
+            tKs.append(time.perf_counter() - t0)
+        per_pair2 = (min(tKs) - min(t1s)) / (K - 1) / B2
+        from stereo_reconstruction_tpu.utils import roofline as rl
+        rep.extra["halfres_matcher"] = {
+            "config": "half_D200",
+            "image": f"{L2.shape[0]}x{L2.shape[1]}",
+            "batch": B2,
+            "compile_seconds": round(compile2, 1),
+            "ms_per_pair": round(per_pair2 * 1000, 3),
+            "pairs_per_s": round(1.0 / per_pair2, 2),
+            "roofline": rl.report(per_pair2 * 1000, L2.shape[0],
+                                  L2.shape[1], 200, cfg2.block_size),
+        }
+
+    # ---- section order (r4 #1/#2): after the always-on matcher+quality
+    # sections, run the two NOVEL measurements the r3/r4 driver kills
+    # lost (device_pipeline, steady_batches) BEFORE the already-recorded
+    # batch/full pipeline repeats, then the config-2 point. Estimates are
+    # deliberately pessimistic when the matcher compile indicated a cold
+    # cache — the budget machinery must finish and exit, not be killed.
     if pipeline_ok:
         rep.section("device_pipeline", sec_device_pipeline,
-                    est_s=800 if cold else 60)
+                    est_s=500 if cold else 90)
+        rep.section("steady_batches", sec_steady_batches,
+                    est_s=400 if cold else 60)
+        batch_warm = (rep.extra["sections"].get("steady_batches", {})
+                      .get("status") == "ok")
+        rep.section("batch_pipeline", sec_batch_pipeline,
+                    est_s=(60 if batch_warm else 300) if not cold else 540)
+        rep.section("full_pipeline", sec_full_pipeline,
+                    est_s=300 if cold else 40)
+    if not args.full:
+        rep.section("halfres_matcher", sec_halfres_matcher,
+                    est_s=300 if cold else 90)
 
     # ------------------------------------------------------------- profile
     def sec_profile():

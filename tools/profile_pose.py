@@ -30,8 +30,16 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--loop", type=int, default=5)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--out", default=os.path.join(REPO, "baselines", "pose_profile.json"))
+    ap.add_argument("--batch", type=int, default=1,
+                    help=">1: profile the BATCHED pose program "
+                         "(pipeline_batch._pose_batch) substage-by-substage "
+                         "at this batch width; writes pose_profile_batch.json")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        name = ("pose_profile_batch.json" if args.batch > 1
+                else "pose_profile.json")
+        args.out = os.path.join(REPO, "baselines", name)
     if args.platform:
         os.environ["JAX_PLATFORMS"] = args.platform
 
@@ -79,6 +87,103 @@ def main():
     report = {"image": f"{img_r.shape[0]}x{img_r.shape[1]}",
               "platform": jax.devices()[0].platform, "stages_ms": {}}
     S = report["stages_ms"]
+
+    if args.batch > 1:
+        # ---- batched pose profiling (VERDICT r4 weak #8): per-substage
+        # marginal ms/pair of the vmapped B-wide programs, same in-jit
+        # K-step method. Aims round-5's batched-pose optimization.
+        B = args.batch
+        report["batch"] = B
+        Lb = jnp.stack([img_l] * B) + jnp.arange(B, dtype=jnp.float32)[
+            :, None, None, None]                      # distinct lanes
+        Rb = jnp.stack([img_r] * B)
+        KLb = jnp.stack([K_l] * B)
+        KRb = jnp.stack([K_r] * B)
+
+        def per_pair(tag, make_body):
+            ms = marginal_ms(make_body, tag)
+            S[tag] = round(ms / B, 2)
+            print(f"  -> {S[tag]:.2f} ms/pair")
+
+        def vsift(i):
+            kp = jax.vmap(lambda im: detect_and_describe(im, cfg.frontend))(
+                Lb + 0.25 * (1.0 + i.astype(jnp.float32)))
+            return kp.descriptors[:, 0, 0].sum() + kp.xy[:, -1, 0].sum()
+        per_pair("sift_one_image", vsift)
+
+        kp_l1 = detect_and_describe(img_l, cfg.frontend)
+        kp_r1 = detect_and_describe(img_r, cfg.frontend)
+        kpl_b = jax.tree.map(lambda x: jnp.stack([x] * B), kp_l1)
+        kpr_b = jax.tree.map(lambda x: jnp.stack([x] * B), kp_r1)
+
+        def vmatch(i):
+            eps = 1e-6 * (1.0 + i.astype(jnp.float32))
+
+            def one(kpl, kpr):
+                kpl = kpl._replace(descriptors=kpl.descriptors + eps)
+                matches = match_descriptors(kpl, kpr, cfg.frontend)
+                ml, mr, valid = matches_to_homogeneous(matches)
+                order = jnp.argsort(jnp.logical_not(valid), stable=True)
+                return ml[0, order[0]] + mr[0, order[-1]]
+            return jax.vmap(one)(kpl_b, kpr_b).sum()
+        per_pair("match_compact", vmatch)
+
+        matches = match_descriptors(kp_l1, kp_r1, cfg.frontend)
+        ml, mr, valid = matches_to_homogeneous(matches)
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        ml, mr = ml[:, order], mr[:, order]
+        n_valid = jnp.sum(valid)
+        mlb, mrb = jnp.stack([ml] * B), jnp.stack([mr] * B)
+        nvb = jnp.full((B,), n_valid)
+
+        def vransac(i):
+            def one(b, mlx, mrx, kl, kr, nv):
+                key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.key(0), i), b)
+                rr = ransac_eight_point(key, mlx, mrx, kl, kr,
+                                        cfg.ransac, nv)
+                return rr.pose[0, 0] + rr.mean_error
+            return jax.vmap(one)(jnp.arange(B), mlb, mrb, KLb, KRb,
+                                 nvb).sum()
+        per_pair("ransac", vransac)
+
+        def vfull(i):
+            def one(b, mlx, mrx, kl, kr, nv):
+                key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.key(0), i), b)
+                pe = estimate_pose_from_matches(key, mlx, mrx, kl, kr,
+                                                cfg, nv)
+                return pe.pose[0, 0] + pe.reproj_error_ba
+            return jax.vmap(one)(jnp.arange(B), mlb, mrb, KLb, KRb,
+                                 nvb).sum()
+        per_pair("pose_from_matches", vfull)
+        S["filter_ba_errors"] = round(
+            S["pose_from_matches"] - S["ransac"], 2)
+
+        from stereo_reconstruction_tpu.pipeline_batch import _pose_batch
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.key(0), jnp.arange(B))
+
+        def vtotal(i):
+            pe = _pose_batch(keys, Lb + 0.25 * (1.0 + i.astype(jnp.float32)),
+                             Rb, KLb, KRb, cfg)
+            return pe.pose[:, 0, 0].sum() + pe.reproj_error_ba.sum()
+        per_pair("pose_device_total", vtotal)
+        S["pose_total_est"] = round(2 * S["sift_one_image"]
+                                    + S["match_compact"]
+                                    + S["pose_from_matches"], 2)
+
+        try:
+            report["git"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+                capture_output=True, text=True).stdout.strip()
+        except OSError:
+            report["git"] = "unknown"
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(json.dumps(report))
+        return
 
     # 1. SIFT detect+describe (one image)
     def sift_body(i):
