@@ -67,7 +67,10 @@ class BriskConfig:
     octaves: int = 3                  # cv::BRISK octaves
     pattern_scale: float = 1.0        # cv::BRISK patternScale
     fast_arc: int = 9                 # contiguous-arc length (FAST-9/16)
-    edge_margin: int = 16             # pattern extent (9.18) + 3*sigma + FAST r
+    # pattern extent 9.18 + 3*sigma_max (3*1.44 = 4.31) + FAST radius 3
+    # = 16.5 -> 17, so the outermost ring samples of margin-adjacent
+    # keypoints stay clear of the border-clipped blur region (ADVICE r4)
+    edge_margin: int = 17
     max_bits: int = 512               # cap on short-pair descriptor bits
 
 

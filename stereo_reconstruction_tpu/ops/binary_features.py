@@ -92,6 +92,11 @@ def detect_and_describe_orb(
         img = gray if level == 0 else jax.image.resize(gray, (lh, lw), "linear")
         per_level.append(_level_keypoints(img, float(scale), config, K))
 
+    if not per_level:
+        raise ValueError(
+            f"image {h}x{w} is smaller than one ORB level needs "
+            f"(2*edge_margin+8 = {2 * config.edge_margin + 8} px per side)")
+
     xy = jnp.concatenate([c[0] for c in per_level])
     resp = jnp.concatenate([c[1] for c in per_level])
     ori = jnp.concatenate([c[2] for c in per_level])
@@ -182,7 +187,9 @@ def _brisk_pattern(pattern_scale: float, max_bits: int):
     Returns numpy constants (pattern is static; baked into the jit):
       pts (60, 2) [y, x], ring (60,) int, ring_sigmas (5,),
       short (S, 2) index pairs, long (L, 2) index pairs,
-      long_dir (L, 2) unit [y, x] / |p_j - p_i| factors.
+      long_dir (L, 2) [y, x] factors (p_j - p_i) / |p_j - p_i|^2 — norm
+      1/d, so a dot with the smoothed-intensity gradient pair gives the
+      paper's distance-normalized orientation vote directly.
     """
     f = 0.85 * pattern_scale
     radii = np.array([0.0, 2.9, 4.9, 7.4, 10.8], np.float64) * f
@@ -263,6 +270,11 @@ def detect_and_describe_brisk(
             break
         img = gray if scale == 1.0 else jax.image.resize(gray, (lh, lw), "linear")
         per_level.append(_brisk_level(img, float(scale), config, K, pattern))
+
+    if not per_level:
+        raise ValueError(
+            f"image {h}x{w} is smaller than one BRISK level needs "
+            f"(2*edge_margin+8 = {2 * config.edge_margin + 8} px per side)")
 
     xy = jnp.concatenate([c[0] for c in per_level])
     resp = jnp.concatenate([c[1] for c in per_level])

@@ -158,6 +158,46 @@ def test_brisk_orientation_rotates_descriptor():
     assert good.mean() > 0.6
 
 
+def test_brisk_default_multi_octave_ladder():
+    """Default BriskConfig (octaves=3): the full octave/intra-octave
+    ladder (scales 1, 1.5, 2, 3, 4, 6) with cross-level top-K and
+    coordinate rescaling — the path the octaves=1 unit tests never
+    exercised (ADVICE r4)."""
+    base = _texture(288, 288, seed=23)
+    dx = 6
+    left = base[16:272, 16:264]
+    right = base[16:272, 16 + dx : 264 + dx]
+    cfg = BriskConfig(max_keypoints=256)          # defaults: octaves=3
+    kl = detect_and_describe_brisk(jnp.asarray(left), cfg)
+    kr = detect_and_describe_brisk(jnp.asarray(right), cfg)
+    vl = np.asarray(kl.valid)
+    scales = np.asarray(kl.scale)[vl]
+    # winners from more than one ladder level survive the global top-K
+    assert len(np.unique(scales)) >= 2
+    # rescaled coordinates stay inside the ORIGINAL image frame
+    xy = np.asarray(kl.xy)[vl]
+    assert (xy >= 0).all()
+    assert (xy[:, 0] <= left.shape[0] - 1).all()
+    assert (xy[:, 1] <= left.shape[1] - 1).all()
+    # and the cross-level descriptors still match a translated copy
+    m = match_descriptors_binary(kl, kr)
+    v = np.asarray(m.valid)
+    assert v.sum() >= 30
+    disp = np.asarray(m.left_xy)[v] - np.asarray(m.right_xy)[v]
+    good = (np.abs(disp[:, 0] - dx) < 1.5) & (np.abs(disp[:, 1]) < 1.5)
+    assert good.mean() > 0.5
+
+
+def test_too_small_image_raises():
+    """Images below one level's minimum (2*edge_margin+8) must raise a
+    clear error, not an opaque empty-concatenate (ADVICE r4)."""
+    tiny = jnp.zeros((24, 24))
+    with pytest.raises(ValueError, match="smaller than one BRISK level"):
+        detect_and_describe_brisk(tiny, BriskConfig())
+    with pytest.raises(ValueError, match="smaller than one ORB level"):
+        detect_and_describe_orb(tiny, OrbConfig())
+
+
 def test_brisk_descriptor_binary_and_deterministic():
     img = _texture(96, 96, seed=17)[:96, :96]
     kp1 = detect_and_describe_brisk(jnp.asarray(img), BRISK_CFG)

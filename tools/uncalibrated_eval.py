@@ -54,7 +54,7 @@ def main():
         pair = downsample_pair(ds.load_training(idx))
         jax.clear_caches()
         rec = {}
-        for det in ("orb", "dog"):
+        for det in ("orb", "dog", "brisk"):
             t0 = time.time()
             res = run_uncalibrated(
                 np.asarray(pair.image_left, np.uint8),
