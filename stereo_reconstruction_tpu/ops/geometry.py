@@ -177,13 +177,22 @@ def triangulate_depths(
     """Joint depth estimation for all N matches (reference
     ``estimateDepth``, eight_point.cpp:120-147).
 
-    Builds M (3N x (N+1)) with M[3i:3i+3, i] = [x_r]_x R x_l and
-    M[3i:3i+3, N] = [x_r]_x T, then takes the eigenvector of M^T M with the
-    smallest eigenvalue and rescales so the translation coefficient is 1.
+    The reference builds M (3N x (N+1)) with M[3i:3i+3, i] = [x_r]_x R x_l
+    and M[3i:3i+3, N] = [x_r]_x T and takes the eigenvector of M^T M with
+    the smallest eigenvalue, rescaled so the translation coefficient is 1.
+    M^T M is an ARROW matrix (diagonal + one border row/column), so that
+    eigenvector comes from a 1-D secular-equation solve
+    (ops/small_linalg.py arrow_smallest_eigvec) in O(N) per iteration —
+    the dense (N+1)x(N+1) eigh this replaces dominated the batched pose
+    stage at N=500 (VERDICT r4 #1) and serialized the K x 4-candidate
+    RANSAC batch at N=8.
 
     Returns depths (..., N).
     """
-    n = points_left_norm.shape[-1]
+    from stereo_reconstruction_tpu.ops.small_linalg import (
+        arrow_smallest_eigvec,
+    )
+
     # rows_i = skew(x_r_i) @ (R @ x_l_i)  -> (..., N, 3)
     Rxl = (R @ points_left_norm).mT                      # (..., N, 3)
     xr = points_right_norm.mT                             # (..., N, 3)
@@ -191,23 +200,12 @@ def triangulate_depths(
     col_i = (skew_xr @ Rxl[..., :, None])[..., 0]         # (..., N, 3)
     col_T = (skew_xr @ jnp.broadcast_to(T[..., None, :, None], skew_xr.shape[:-2] + (3, 1)))[..., 0]
 
-    # M^T M assembled without materializing the sparse M:
+    # M^T M without materializing the sparse M:
     # MtM[i, j] for i,j < N is diag: col_i[i] . col_i[i] (block structure)
     # MtM[i, N] = col_i[i] . col_T[i];  MtM[N, N] = sum_i col_T[i].col_T[i]
     diag = jnp.sum(col_i * col_i, axis=-1)                # (..., N)
     cross = jnp.sum(col_i * col_T, axis=-1)               # (..., N)
     corner = jnp.sum(col_T * col_T, axis=-1).sum(axis=-1)  # (...,)
 
-    batch = diag.shape[:-1]
-    MtM = jnp.zeros(batch + (n + 1, n + 1), dtype=diag.dtype)
-    idx = jnp.arange(n)
-    MtM = MtM.at[..., idx, idx].set(diag)
-    MtM = MtM.at[..., idx, n].set(cross)
-    MtM = MtM.at[..., n, idx].set(cross)
-    MtM = MtM.at[..., n, n].set(corner)
-
-    # smallest-eigenvalue eigenvector of a symmetric PSD matrix
-    eigvals, eigvecs = jnp.linalg.eigh(MtM)
-    v = eigvecs[..., :, 0]                                # (..., N+1)
-    depths = v[..., :n] / v[..., n:]
+    _, depths = arrow_smallest_eigvec(diag, cross, corner)
     return depths

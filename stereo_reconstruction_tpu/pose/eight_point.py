@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from stereo_reconstruction_tpu.ops import geometry as geo
+from stereo_reconstruction_tpu.ops import small_linalg
 
 
 class EightPointResult(NamedTuple):
@@ -55,18 +56,22 @@ def eight_point(
     chi = geo.kron_vec(xl.mT, xr.mT)                    # (..., N, 9)
 
     # essential matrix estimate: right singular vector of chi for the
-    # smallest singular value == eigenvector of chi^T chi
-    _, _, vt = jnp.linalg.svd(chi, full_matrices=True)
-    e_vec = vt[..., -1, :]                               # (..., 9)
+    # smallest singular value == smallest eigenvector of chi^T chi.
+    # Batched 9x9 Jacobi (ops/small_linalg.py) replaces the LAPACK-shaped
+    # jnp.linalg.svd, which serialized the K-hypothesis RANSAC batch
+    # (VERDICT r4 #1); sign freedom is irrelevant (E and -E generate the
+    # same 4-candidate set below).
+    G = chi.mT @ chi                                     # (..., 9, 9)
+    e_vec = small_linalg.smallest_eigvec(G)              # (..., 9)
     # Eigen's reshaped(3,3) is column-major: element (r, c) = e_vec[c*3+r]
     E0 = e_vec.reshape(*e_vec.shape[:-1], 3, 3).mT
 
-    # project onto the normalized essential space (eight_point.cpp:40-51)
-    U, _, Vt = jnp.linalg.svd(E0)
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(Vt.mT)
-    U = U * jnp.sign(detU)[..., None, None]
-    Vt = Vt * jnp.sign(detV)[..., None, None]
+    # project onto the normalized essential space (eight_point.cpp:40-51).
+    # svd3_for_essential returns det(U) = det(V) = +1 directly — the
+    # state after the reference's sign fix; SVD column-sign freedom maps
+    # the 4 candidates onto each other, so the candidate SET (and the
+    # cheirality winner) is unchanged.
+    U, Vt = small_linalg.svd3_for_essential(E0)
     sigma = jnp.diag(jnp.array([1.0, 1.0, 0.0], dtype=E0.dtype))
 
     Rz = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E0.dtype)
