@@ -140,13 +140,25 @@ def run_pair(
     output_dir: Optional[str] = None,
     write_mesh: bool = False,
     png_compat: bool = False,
+    fixed_F: Optional[np.ndarray] = None,
+    backwarp_compat_left: bool = False,
 ) -> PipelineResult:
-    """Full reconstruction of one stereo pair (reference main.cpp flow)."""
+    """Full reconstruction of one stereo pair (reference main.cpp flow).
+
+    ``fixed_F``: skip pose estimation and rectify from this fundamental
+    matrix — the shared-pose parity mode (VERDICT r4 #5: one F feeds both
+    this pipeline and the oracle pipeline, so dense+rectify+recon parity
+    is seed-free). ``backwarp_compat_left`` back-warps disparity with the
+    LEFT homography like the reference (rectification.cpp:78-88 quirk)
+    instead of the corrected right one."""
     timings: Dict[str, float] = {}
     t0 = time.perf_counter()
 
-    pose = estimate_pose(pair, config)
-    jax.block_until_ready(pose.pose)
+    if fixed_F is None:
+        pose = estimate_pose(pair, config)
+        jax.block_until_ready(pose.pose)
+    else:
+        pose = None
     timings["pose"] = time.perf_counter() - t0
 
     # failure recovery (SURVEY §5: per-pair failure masking instead of the
@@ -154,11 +166,13 @@ def run_pair(
     # (non-finite reprojection error / cheirality failure) would rectify
     # the pair into garbage — match the raw pair instead. MiddEval3 pairs
     # are row-aligned already, so the degraded mode stays meaningful.
-    pose_ok = bool(pose.valid) and float(pose.reproj_error_ba) < 50.0
+    pose_ok = fixed_F is not None or (
+        bool(pose.valid) and float(pose.reproj_error_ba) < 50.0)
 
     t0 = time.perf_counter()
     if pose_ok:
-        F = np.asarray(pose.fundamental, np.float64)
+        F = (np.asarray(fixed_F, np.float64) if fixed_F is not None
+             else np.asarray(pose.fundamental, np.float64))
         rect = rectify_pair(
             jnp.asarray(pair.image_left),
             jnp.asarray(pair.image_right),
@@ -178,6 +192,8 @@ def run_pair(
             disp_rect,
             rect.homographies.H_right,
             (pair.height, pair.width),
+            compat_left_homography=(rect.homographies.H_left
+                                    if backwarp_compat_left else None),
         )
     else:
         disparity = compute_disparity(
@@ -206,12 +222,13 @@ def run_pair(
     jax.block_until_ready(depth)
     timings["recon"] = time.perf_counter() - t0
 
-    results: Dict[str, float] = {
-        "reproj_error_8pt": float(pose.reproj_error_8pt),
-        "reproj_error_ba": float(pose.reproj_error_ba),
-        "num_inliers": int(pose.num_inliers),
-        "pose_ok": float(pose_ok),
-    }
+    results: Dict[str, float] = {"pose_ok": float(pose_ok)}
+    if pose is not None:
+        results.update({
+            "reproj_error_8pt": float(pose.reproj_error_8pt),
+            "reproj_error_ba": float(pose.reproj_error_ba),
+            "num_inliers": int(pose.num_inliers),
+        })
     if pair.disp_right_gt is not None and pair.mask_right_nocc is not None:
         m = metrics_mod.evaldisp(
             jnp.asarray(disparity_np),
@@ -229,7 +246,8 @@ def run_pair(
         with open(stem + "_pose.json", "w") as f:
             json.dump(
                 {
-                    "pose": np.asarray(pose.pose).tolist(),
+                    "pose": (np.asarray(pose.pose).tolist()
+                             if pose is not None else None),
                     "fundamental": F.tolist(),
                     "metrics": results,
                     "timings": timings,

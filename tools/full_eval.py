@@ -243,6 +243,36 @@ def main():
                   f"bad2={rec['matcher_parity']['bad2_vs_oracle']:.3f}% "
                   f"({rec['matcher_parity']['seconds']}s)", flush=True)
 
+        # shared-pose end-to-end parity (VERDICT r4 #5): feed the SAME F
+        # to both the oracle pipeline (cv2 warps + oracle matcher +
+        # reference H_left back-warp + quantization) and the framework
+        # pipeline (device warps + Pallas/XLA matcher, compat back-warp)
+        # — deterministic given F, so the dense+rectify path is gateable
+        # on ALL 15 scenes, not only the two with usable GT.
+        if brec is not None and brec.get("pose"):
+            from reference_baseline import reference_pipeline_from_F
+
+            t0 = time.time()
+            F = np.asarray(brec["pose"]["F"], np.float64)
+            disp_oracle = reference_pipeline_from_F(
+                pair, F, downsample=1, max_disparity=100, clamp=False)
+            res_sp = run_pair(pair, base, fixed_F=F, png_compat=True,
+                              backwarp_compat_left=True)
+            ours = res_sp.disparity
+            mask = np.where(disp_oracle > 0, 255, 0).astype(np.uint8)
+            sp = evaldisp_np(ours, disp_oracle.astype(np.float64), mask)
+            rec["shared_pose"] = {
+                "bad2_vs_oracle_pipeline": round(sp["bad_percent"], 4),
+                "invalid_percent": round(sp["invalid_percent"], 4),
+                "avg_err": round(sp["avg_err"], 4),
+                "exact_agreement": round(
+                    float((ours == disp_oracle).mean()), 5),
+                "seconds": round(time.time() - t0, 1),
+            }
+            print(f"  shared-pose: bad2={sp['bad_percent']:.3f}% "
+                  f"agree={rec['shared_pose']['exact_agreement']:.4f} "
+                  f"({rec['shared_pose']['seconds']}s)", flush=True)
+
         for cname in configs:
             cfg = base.replace(
                 matcher=dataclasses.replace(base.matcher, cost=cname))

@@ -168,6 +168,44 @@ def _resample(idx, n, n_pts, n_shuffle, exclude, rng):
 # ---------------------------------------------------------------------------
 
 
+def reference_pipeline_from_F(pair, F, downsample: int = 1,
+                              max_disparity: int = 100, clamp: bool = True):
+    """The reference pipeline DOWNSTREAM of pose, from a given F:
+    Loop-Zhang + cv2 warps (rectification.cpp) -> exact-semantics
+    BlockSearch Right (oracle) -> H_left-inverse NN back-warp
+    (rectification.cpp:78-88, the reference's left-homography quirk kept
+    for fidelity) -> uint8 PNG round-trip (main.cpp:42-50) -> outlier
+    clamp (reconstruction.cpp:5-18). Deterministic given F — the
+    shared-pose parity gate (VERDICT r4 #5) feeds ONE F to this and to
+    the framework pipeline so dense+rectify+recon parity is seed-free."""
+    import cv2
+
+    img_l = np.asarray(pair.image_left, np.uint8)
+    img_r = np.asarray(pair.image_right, np.uint8)
+
+    homs = loop_zhang_homographies(F, img_l.shape[:2], img_r.shape[:2])
+    hl, wl = homs.canvas_left
+    hr, wr = homs.canvas_right
+    rect_l = cv2.warpPerspective(img_l, homs.H_left, (wl, hl))
+    rect_r = cv2.warpPerspective(img_r, homs.H_right, (wr, hr))
+
+    disp_rect = oracle.block_search_right_fast(
+        rect_l, rect_r, block_size=17, min_disparity=0,
+        max_disparity=max_disparity, smooth_factor=0.9,
+    )
+
+    disp = cv2.warpPerspective(
+        disp_rect, np.linalg.inv(homs.H_left),
+        (img_r.shape[1], img_r.shape[0]), flags=cv2.INTER_NEAREST,
+    )
+    disp = np.clip(np.round(disp), 0, 255).astype(np.uint8).astype(np.float32)
+
+    if not clamp:          # pre-clamp output: the dense+warp parity probe
+        return disp
+    kernel = max(31, 500 >> downsample)
+    return oracle.remove_disparity_outliers(disp, kernel, 1.5, 0.8)
+
+
 def run_reference_baseline(pair, downsample: int, max_disparity: int = 0,
                            seed: int = 0, skip_ba: bool = False):
     """Reproduce the reference main() flow on an (already downsampled)
@@ -242,32 +280,7 @@ def run_reference_baseline(pair, downsample: int, max_disparity: int = 0,
         F = np.linalg.inv(K_r).T @ E @ np.linalg.inv(K_l)
         F = F / np.linalg.norm(F)
 
-    # 4) Loop-Zhang + cv2 warps (rectification.cpp)
-    homs = loop_zhang_homographies(F, img_l.shape[:2], img_r.shape[:2])
-    hl, wl = homs.canvas_left
-    hr, wr = homs.canvas_right
-    rect_l = cv2.warpPerspective(img_l, homs.H_left, (wl, hl))
-    rect_r = cv2.warpPerspective(img_r, homs.H_right, (wr, hr))
-    print(f"rectified canvases: {rect_l.shape} {rect_r.shape}")
-
-    # 5) exact-semantics BlockSearch Right (oracle)
-    disp_rect = oracle.block_search_right_fast(
-        rect_l, rect_r, block_size=17, min_disparity=0,
-        max_disparity=max_disp, smooth_factor=0.9,
-    )
-
-    # 6) warp back with H_left.inv (the reference uses the LEFT homography
-    #    for the right disparity — rectification.cpp:78-88; keep that for
-    #    baseline fidelity) + uint8 PNG round-trip (main.cpp:42-50)
-    disp = cv2.warpPerspective(
-        disp_rect, np.linalg.inv(homs.H_left),
-        (img_r.shape[1], img_r.shape[0]), flags=cv2.INTER_NEAREST,
-    )
-    disp = np.clip(np.round(disp), 0, 255).astype(np.uint8).astype(np.float32)
-
-    # 7) outlier clamp (reconstruction.cpp:5-18; kernel scaled with res)
-    kernel = max(31, 500 >> downsample)
-    disp = oracle.remove_disparity_outliers(disp, kernel, 1.5, 0.8)
+    disp = reference_pipeline_from_F(pair, F, downsample, max_disp)
 
     # 8) evaldisp vs GT (utils.cpp:123-168)
     metrics = {}

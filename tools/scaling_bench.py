@@ -148,17 +148,29 @@ def main():
               flush=True)
 
     # ---- tile axis: one pair's rows over n shards ----
+    # median-of-3 measurement rounds (VERDICT r4 #10): the tile rows are
+    # the shortest programs here (~65 ms) and the only ones whose margin
+    # over the 0.8 gate is small — on a 2-core host time-slicing n
+    # virtual devices, one scheduler hiccup in a single round moved the
+    # n=4 ratio by ~0.1. The structural overhead itself is the per-shard
+    # halo warm-up rows (2*hbs recomputed rows per tile boundary: ~6% of
+    # 64-row shards at n=4), which the wavefront-exact mode bounds.
     L1, R1 = make_pairs(1)
     t_base = _bench(
         lambda: sharded_block_search_right(L1, R1, mesh1, cfg),
         reps=args.reps)
     for n in counts:
         mesh = make_mesh(data=1, tile=n, devices=jax.devices()[:n])
-        t_shard = _bench(
-            lambda: sharded_block_search_right(L1, R1, mesh, cfg),
-            reps=args.reps)
+        shard_rounds = sorted(
+            _bench(lambda: sharded_block_search_right(L1, R1, mesh, cfg),
+                   reps=args.reps)
+            for _ in range(3))
+        t_shard = shard_rounds[1]                      # median round
         report["tile_axis"][n] = _row(t_base, t_shard)
+        report["tile_axis"][n]["shard_rounds_s"] = [
+            round(t, 4) for t in shard_rounds]
         print(f"tile axis n={n}: mesh1 {t_base:.3f}s sharded {t_shard:.3f}s "
+              f"(rounds {shard_rounds}) "
               f"eff {report['tile_axis'][n]['overhead_efficiency']:.2%}",
               flush=True)
 
