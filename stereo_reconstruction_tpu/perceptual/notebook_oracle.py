@@ -154,3 +154,62 @@ def notebook_window_search(
                 argmins.append(int(np.argmin(scores)))
                 disparity[y, x] = argmins[-1]
     return disparity
+
+
+def notebook_rows(
+    params: Dict,
+    left: np.ndarray,
+    right: np.ndarray,
+    rows,                          # iterable of row indices y
+    prev_disparity: np.ndarray,    # (H, W) previous-row context source
+    window: int = 17,
+    padding: int = 8,
+    max_disparity: int = 200,
+    chunk: int = 20,
+    smoothing_bias: float = 0.85,
+    smoothing_sigma: float = 25.0,
+) -> Dict[int, np.ndarray]:
+    """Oracle rows at ARBITRARY y, each conditioned on a caller-provided
+    row y-1 (``prev_disparity``).
+
+    The notebook recurrence makes row y depend on row y-1, so scattered
+    rows cannot be oracle-computed in isolation; feeding the PRODUCTION
+    backend's row y-1 as context makes the check exact FOR ROW y's
+    semantics: if the backend matches the notebook, the oracle row
+    produced from the backend's own context must equal the backend's row
+    (VERDICT r4 #6 — widen image-scale verification beyond the prefix).
+    Same quirks as notebook_window_search (per-chunk argmins reset,
+    ``min(argmins[-1], size)`` clamp).
+    """
+    left = jnp.asarray(left, jnp.float32)
+    right = jnp.asarray(right, jnp.float32)
+    h, w = right.shape[:2]
+    lins = params.get("lins") or [
+        np.full((c,), 1.0 / c, np.float32)
+        for c in (64, 128, 256, 512, 512)
+    ]
+
+    out: Dict[int, np.ndarray] = {}
+    for y in rows:
+        ls = _row_window_features(params, left, jnp.int32(y), window, padding)
+        rs = _row_window_features(params, right, jnp.int32(y), window, padding)
+        dist = np.asarray(_row_distance_matrix(ls, rs, lins))  # (W, W)
+        row = np.zeros((w,), np.float32)
+        for x0 in range(0, w, chunk):
+            argmins: list = []
+            for x in range(x0, min(x0 + chunk, w)):
+                cut = min(x + max_disparity, w)
+                size = cut - x
+                scores = dist[x, x:cut].astype(np.float64).copy()
+                if y > 0:
+                    scores *= _weight_vector(
+                        size, prev_disparity[y - 1, x],
+                        smoothing_sigma, smoothing_bias)
+                if argmins:
+                    scores *= _weight_vector(
+                        size, min(argmins[-1], size),
+                        smoothing_sigma, smoothing_bias)
+                argmins.append(int(np.argmin(scores)))
+                row[x] = argmins[-1]
+        out[int(y)] = row
+    return out

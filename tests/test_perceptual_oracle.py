@@ -57,3 +57,25 @@ def test_matcher_tracks_notebook_oracle_constant_shift():
     assert (r == shift).mean() > 0.8          # oracle recovers the shift
     assert (o == r).mean() > 0.7              # matcher tracks the oracle
     assert np.abs(o - r).mean() < 1.0
+
+
+@pytest.mark.slow
+def test_notebook_rows_consistent_with_full_scan():
+    """notebook_rows (scattered-row verification mode, VERDICT r4 #6)
+    must reproduce notebook_window_search's rows exactly when fed the
+    full scan's own previous-row context."""
+    from stereo_reconstruction_tpu.perceptual.notebook_oracle import (
+        notebook_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    h, w = 18, 24
+    right = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    left = np.roll(right, 2, axis=1)
+    params = init_vgg16_params(seed=0)
+
+    full = notebook_window_search(params, left, right, max_disparity=5)
+    ys = [0, 5, 11, 17]
+    rows = notebook_rows(params, left, right, ys, full, max_disparity=5)
+    for y in ys:
+        np.testing.assert_array_equal(rows[y], full[y])

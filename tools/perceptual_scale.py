@@ -55,10 +55,14 @@ def _load_pair():
     return L, R
 
 
-def oracle_child(n_rows: int, out_path: str) -> None:
-    """CPU subprocess: oracle prefix rows + per-row timing."""
+def oracle_child(n_rows: int, out_path: str,
+                 scattered_npz: str = "") -> None:
+    """CPU subprocess: oracle prefix rows + per-row timing; optionally
+    also scattered rows conditioned on a provided disparity context
+    (VERDICT r4 #6 — see notebook_oracle.notebook_rows)."""
     from stereo_reconstruction_tpu.perceptual import get_params
     from stereo_reconstruction_tpu.perceptual.notebook_oracle import (
+        notebook_rows,
         notebook_window_search,
     )
 
@@ -74,8 +78,16 @@ def oracle_child(n_rows: int, out_path: str) -> None:
     # the first (n_rows=1) call compiled the row programs, so t_n is all
     # warm row work
     per_row = t_n / n_rows
+    extra = {}
+    if scattered_npz:
+        ctx = np.load(scattered_npz)
+        ys = ctx["rows_y"]
+        scat = notebook_rows(params, L, R, [int(y) for y in ys],
+                             ctx["disparity"], max_disparity=D)
+        extra = {"scattered_y": ys,
+                 "scattered_rows": np.stack([scat[int(y)] for y in ys])}
     np.savez(out_path, rows=rows[:n_rows], per_row_marginal_s=per_row,
-             t_first_s=t_first, t_n_s=t_n)
+             t_first_s=t_first, t_n_s=t_n, **extra)
 
 
 def main():
@@ -83,12 +95,19 @@ def main():
     ap.add_argument("--oracle-child", type=int, default=None)
     ap.add_argument("--out", default="")
     ap.add_argument("--rows", type=int, default=ORACLE_ROWS)
+    ap.add_argument("--scattered", type=int, default=8,
+                    help="scattered rows verified against the oracle "
+                         "conditioned on the backend's own previous row "
+                         "(0 disables)")
+    ap.add_argument("--scattered-ctx", default="",
+                    help="(oracle-child internal) npz with disparity "
+                         "context + rows_y")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--skip-oracle", action="store_true")
     args = ap.parse_args()
 
     if args.oracle_child is not None:
-        oracle_child(args.oracle_child, args.out)
+        oracle_child(args.oracle_child, args.out, args.scattered_ctx)
         return
 
     import jax
@@ -130,15 +149,31 @@ def main():
     if not args.skip_oracle:
         out_npz = "/tmp/stpu_oracle_prefix.npz"
         env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
-        subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--oracle-child", str(args.rows), "--out", out_npz],
-            check=True, env=env, cwd=REPO, timeout=3600)
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--oracle-child", str(args.rows), "--out", out_npz]
+        wd = disp_by_mode["windowed"]
+        if args.scattered:
+            # scattered verification rows (VERDICT r4 #6): half evenly
+            # spread below the prefix, half from the highest-disparity
+            # bands (where the smoothing recurrence works hardest), each
+            # oracle-computed from the BACKEND's own row y-1 context
+            even = np.linspace(args.rows + 5, h - 2,
+                               args.scattered // 2).astype(int)
+            chosen = [int(y) for y in even]
+            for y in np.argsort(-wd.mean(axis=1)):
+                if len(chosen) >= args.scattered:
+                    break
+                if y >= 1 and all(abs(int(y) - c) > 2 for c in chosen):
+                    chosen.append(int(y))
+            ys = np.asarray(sorted(set(chosen))[:args.scattered])
+            ctx_npz = "/tmp/stpu_scatter_ctx.npz"
+            np.savez(ctx_npz, disparity=wd, rows_y=ys)
+            cmd += ["--scattered-ctx", ctx_npz]
+        subprocess.run(cmd, check=True, env=env, cwd=REPO, timeout=7200)
         data = np.load(out_npz)
         per_row = float(data["per_row_marginal_s"])
         oracle_rows = data["rows"]
-        agree = float(
-            (disp_by_mode["windowed"][:args.rows] == oracle_rows).mean())
+        agree = float((wd[:args.rows] == oracle_rows).mean())
         results.update({
             "oracle_rows_measured": args.rows,
             "oracle_row_s": round(per_row, 2),
@@ -149,6 +184,19 @@ def main():
                 results["windowed_tpu_s"] <= 0.1 * per_row * h),
             "prefix_agreement_pct": round(100.0 * agree, 2),
         })
+        if "scattered_rows" in data:
+            ys = data["scattered_y"]
+            srows = data["scattered_rows"]
+            per_row_agree = [float((wd[int(y)] == srows[i]).mean())
+                             for i, y in enumerate(ys)]
+            results.update({
+                "scattered_rows_y": [int(y) for y in ys],
+                "scattered_row_agreement_pct": [
+                    round(100.0 * a, 2) for a in per_row_agree],
+                "scattered_agreement_pct": round(
+                    100.0 * float(np.mean(per_row_agree)), 2),
+                "oracle_rows_measured": args.rows + len(ys),
+            })
 
     # merge into the parity baseline
     path = os.path.join(REPO, "baselines", "perceptual_parity.json")
