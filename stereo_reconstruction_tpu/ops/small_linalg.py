@@ -132,6 +132,65 @@ def svd3_for_essential(E: jnp.ndarray, sweeps: int = 8):
     return U, V.mT
 
 
+def inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of a (..., 3, 3) batch — pure
+    elementwise ops, replacing the LU-shaped ``jnp.linalg.inv`` in the
+    BA Schur step's per-point block inversions (pose/ba.py)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c12 = c * h - b * i
+    c13 = b * f - c * e
+    c21 = f * g - d * i
+    c22 = a * i - c * g
+    c23 = c * d - a * f
+    c31 = d * h - e * g
+    c32 = b * g - a * h
+    c33 = a * e - b * d
+    det = a * c11 + b * c21 + c * c31
+    adj = jnp.stack([
+        jnp.stack([c11, c12, c13], axis=-1),
+        jnp.stack([c21, c22, c23], axis=-1),
+        jnp.stack([c31, c32, c33], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
+def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for a small (..., n, n) symmetric positive-definite
+    batch via a statically unrolled Cholesky + two triangular
+    substitutions — replaces the pivoted-LU ``jnp.linalg.solve`` on the
+    6x6 Schur system of the BA step. n is static and small (<= ~8)."""
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-30))
+        for i2 in range(j + 1, n):
+            s = A[..., i2, j]
+            for k in range(j):
+                s = s - L[i2][k] * L[j][k]
+            L[i2][j] = s / L[j][j]
+    # forward substitution L y = b
+    y = [None] * n
+    for i2 in range(n):
+        s = b[..., i2]
+        for k in range(i2):
+            s = s - L[i2][k] * y[k]
+        y[i2] = s / L[i2][i2]
+    # back substitution L^T x = y
+    x = [None] * n
+    for i2 in reversed(range(n)):
+        s = y[i2]
+        for k in range(i2 + 1, n):
+            s = s - L[k][i2] * x[k]
+        x[i2] = s / L[i2][i2]
+    return jnp.stack(x, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("bisect_iters", "newton_iters"))
 def arrow_smallest_eigvec(
     diag: jnp.ndarray,      # (..., N) positive diagonal d

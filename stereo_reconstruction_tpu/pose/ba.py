@@ -37,6 +37,7 @@ from jax import lax
 
 from stereo_reconstruction_tpu.config import BundleAdjustmentConfig
 from stereo_reconstruction_tpu.ops import geometry as geo
+from stereo_reconstruction_tpu.ops import small_linalg
 
 
 class BAResult(NamedTuple):
@@ -137,13 +138,16 @@ def bundle_adjust(
 
         lamI3 = lam * jnp.eye(3)
         C_damped = C + lamI3[None]
-        C_inv = jnp.linalg.inv(C_damped)                     # (N, 3, 3)
+        # closed-form 3x3 inverses + unrolled 6x6 SPD solve
+        # (ops/small_linalg.py): the LU-shaped linalg custom calls were
+        # the latency chain of the 20-step LM scan
+        C_inv = small_linalg.inv3(C_damped)                  # (N, 3, 3)
 
         # Schur complement onto the camera block
         EC = E @ C_inv                                        # (N, 6, 3)
         S = B + lam * jnp.eye(6) - jnp.einsum("nij,nkj->ik", EC, E)
         rhs = v - jnp.einsum("nij,nj->i", EC, g)
-        d_pose = jnp.linalg.solve(S, rhs)
+        d_pose = small_linalg.solve_spd_small(S, rhs)
 
         # back-substitute point updates
         d_X = jnp.einsum("nij,nj->ni", C_inv, g - jnp.einsum("nji,j->ni", E, d_pose))

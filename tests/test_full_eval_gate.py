@@ -70,6 +70,23 @@ def test_matcher_parity_all_scenes(fixture):
         )
 
 
+def test_shared_pose_parity_all_scenes(fixture):
+    """Seed-free end-to-end gate on ALL scenes (VERDICT r4 #5): with ONE
+    shared F feeding both pipelines, our rectify+match+back-warp chain
+    must track the oracle pipeline within 2pp bad-2.0 per scene. The
+    matcher itself is exact on identical inputs (gate above); the budget
+    here covers only warp-implementation numerics (device band warp vs
+    cv2, NN rounding at half-pixel boundaries) — Teddy measures 0.72pp."""
+    missing = [n for n, r in fixture.items() if "shared_pose" not in r]
+    assert not missing, f"scenes without shared_pose record: {missing}"
+    for name, rec in fixture.items():
+        sp = rec["shared_pose"]
+        assert sp["bad2_vs_oracle_pipeline"] <= 2.0, (
+            f"{name}: shared-pose bad-2.0 "
+            f"{sp['bad2_vs_oracle_pipeline']:.3f}% vs oracle pipeline")
+        assert sp["exact_agreement"] >= 0.85, (name, sp)
+
+
 def test_gt_scenes_beat_reference_baseline(fixture):
     """Both pipelines are RANSAC-seed stochastic (ArtL spans 58.4..62.6
     over 4 seeds); the +-0.5pp budget therefore gates 3-seed MEDIANS

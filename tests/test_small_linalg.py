@@ -104,3 +104,20 @@ def test_arrow_matches_triangulation_shape(rng):
     assert lam.shape == (4, 16)
     assert ratio.shape == (4, 16, 8)
     assert np.isfinite(np.asarray(ratio)).all()
+
+
+def test_inv3_matches_numpy(rng):
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = A @ np.swapaxes(A, 1, 2) + 0.5 * np.eye(3)     # SPD, well-conditioned
+    inv = np.asarray(sl.inv3(jnp.asarray(A)))
+    np.testing.assert_allclose(inv, np.linalg.inv(A), rtol=2e-3, atol=1e-4)
+
+
+def test_solve_spd_small_matches_numpy(rng):
+    for n in (3, 6):
+        M = rng.normal(size=(32, n, n)).astype(np.float32)
+        A = M @ np.swapaxes(M, 1, 2) + 0.3 * np.eye(n)
+        b = rng.normal(size=(32, n)).astype(np.float32)
+        x = np.asarray(sl.solve_spd_small(jnp.asarray(A), jnp.asarray(b)))
+        ref = np.linalg.solve(A, b[..., None])[..., 0]
+        np.testing.assert_allclose(x, ref, rtol=5e-3, atol=5e-4)
