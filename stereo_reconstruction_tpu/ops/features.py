@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from stereo_reconstruction_tpu.config import FrontendConfig
@@ -195,12 +196,39 @@ def _detect(image, config: FrontendConfig):
 
 
 def _describe(det, config: FrontendConfig) -> Keypoints:
-    """Orientation + descriptor for the K global winners of _detect."""
+    """Orientation + descriptor for the K global winners of _detect.
+
+    Gather strategy (round 5): TPU scalar gathers move ~70M elem/s, and
+    the per-sample patch reads were 12.3 of the 13.3 ms SIFT cost
+    (tools/diag_describe.py). Instead, ONE row-block gather per keypoint
+    pulls a (U, W0) band of full pyramid rows (row gathers hit the fast
+    embedding-lookup path: 0.4 ms for 500x85 rows), and every sample —
+    integer patch reads, rotated bilinear taps, nearest angle reads —
+    becomes a one-hot/bilinear-weight contraction against that band on
+    the MXU. Weights are built in ABSOLUTE image coordinates, so rows
+    clamped at plane borders (whose content is wrong) always carry zero
+    weight, reproducing the old per-sample clip semantics exactly.
+    """
     mag, ang, sigs = det["mag"], det["ang"], det["sigs"]
     plane, si, yi, xi = det["plane"], det["si"], det["yi"], det["xi"]
     oh, ow = det["oh"], det["ow"]
-    ori = _orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow)
-    desc = _descriptor(mag, ang, plane, si, yi, xi, sigs, ori, oh, ow)
+    Pn, H0, W0 = mag.shape
+
+    # static row budget: descriptor samples reach 0.75*sigma_max * the
+    # rotated grid half-diagonal; +2 covers the bilinear/nearest taps
+    sig_max = config.init_sigma * 2.0          # sigs[-1] = sig0 * 2^(s/s)
+    r_super = int(np.ceil(0.75 * sig_max * (_GRID - 1) / 2 * np.sqrt(2.0))) + 2
+    r_super = max(r_super, _R_ORI)
+    U = 2 * r_super + 1
+
+    rows_abs = (yi - r_super)[:, None] + jnp.arange(U)[None, :]  # (K, U)
+    fr = plane[:, None] * H0 + jnp.clip(rows_abs, 0, H0 - 1)
+    rows_m = jnp.take(mag.reshape(Pn * H0, W0), fr, axis=0)      # (K, U, W0)
+    rows_a = jnp.take(ang.reshape(Pn * H0, W0), fr, axis=0)
+
+    ori = _orientation(rows_m, rows_a, rows_abs, si, yi, xi, sigs, oh, ow)
+    desc = _descriptor(rows_m, rows_a, rows_abs, si, yi, xi, sigs, ori,
+                       oh, ow)
     return Keypoints(
         xy=det["xy"],
         scale=det["scale"],
@@ -296,82 +324,133 @@ def _octave_candidates(dog, sigmas, octave, config: FrontendConfig, K: int):
             si.astype(jnp.int32), yi.astype(jnp.int32), xi.astype(jnp.int32))
 
 
-def _orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow):
+_R_ORI = 8      # orientation patch radius (17x17)
+_GRID = 16      # descriptor sample grid (16x16 -> 4x4 cells x 8 bins)
+
+# One-hot/bilinear selection contractions run at HIGH matmul precision:
+# a 0/1 (or {1-f, f}) selector times a bf16x3-split f32 operand
+# reconstructs the selected f32 values essentially exactly on the MXU,
+# where the surrounding pose program's "highest" default would pay 6
+# passes for the same answer.
+_SEL_PREC = lax.Precision.HIGH
+
+
+def _row_block_select(rows, wy, wx):
+    """samples[k, s] = sum_{u, w} rows[k, u, w] * wy[k, s, u] * wx[k, s, w]
+    — separable weighted sampling of a per-keypoint row band on the MXU."""
+    A = jnp.einsum("kuw,ksw->ksu", rows, wx, precision=_SEL_PREC)
+    return jnp.einsum("ksu,ksu->ks", A, wy, precision=_SEL_PREC)
+
+
+def _orientation(rows_m, rows_a, rows_abs, si, yi, xi, sigs, oh, ow):
     """Dominant gradient orientation: 36-bin histogram over a Gaussian-
-    weighted patch (vmapped per keypoint).
+    weighted 17x17 patch, batched over keypoints.
 
-    ``mag``/``ang`` are the flat padded pyramid (n_oct*s, H0, W0);
-    ``plane`` selects the keypoint's plane, ``oh``/``ow`` carry its
-    octave's true (unpadded) extent for the border clips."""
-    R = 8
-
-    def one(p, s, y, x):
-        # patch extraction as a gather (not dynamic_slice): vmapping this
-        # over keypoints (and over a pair/batch axis above) then lowers to
-        # one big gather — dynamic_slice under two vmap levels tripped a
-        # TPU backend RET_CHECK (regalloc live_range_finder) and is slower
-        ddy = jnp.arange(-R, R + 1)
-        yy = (y + ddy)[:, None]
-        xx = (x + ddy)[None, :]
-        m = mag[p, yy, xx]
-        a = ang[p, yy, xx]
-        dy = jnp.arange(-R, R + 1, dtype=jnp.float32)[:, None]
-        dx = jnp.arange(-R, R + 1, dtype=jnp.float32)[None, :]
-        wgt = jnp.exp(-(dy * dy + dx * dx) / (2 * (1.5 * sigs[s]) ** 2))
-        bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
-        # histogram as a one-hot contraction, not a scatter-add: TPU
-        # scatters serialize on the scalar unit; this is one batched
-        # matvec on the VPU/MXU
-        onehot = (bins.reshape(-1)[:, None] == jnp.arange(36)).astype(jnp.float32)
-        hist = (m * wgt).reshape(-1) @ onehot
-        # smooth the circular histogram
-        hist = (jnp.roll(hist, 1) + hist + jnp.roll(hist, -1)) / 3.0
-        b = jnp.argmax(hist)
-        return (b.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
-
+    ``rows_m``/``rows_a`` are the per-keypoint (U, W0) pyramid row bands
+    (see _describe); ``rows_abs`` their absolute row ids. Patch reads are
+    integer one-hot selections in absolute coordinates."""
+    R = _R_ORI
+    K, U, W0 = rows_m.shape
     ys = jnp.clip(yi, R, oh - R - 1)
     xs = jnp.clip(xi, R, ow - R - 1)
-    return jax.vmap(one)(plane, si, ys, xs)
+    dd = jnp.arange(-R, R + 1)
+
+    tgt_y = ys[:, None] + dd[None, :]                       # (K, 17)
+    tgt_x = xs[:, None] + dd[None, :]
+    wy = (rows_abs[:, None, :] == tgt_y[:, :, None]).astype(jnp.float32)
+    wx = (jnp.arange(W0)[None, None, :]
+          == tgt_x[:, :, None]).astype(jnp.float32)         # (K, 17, W0)
+
+    # (K, 17y, 17x) patches: contract lanes then rows
+    Am = jnp.einsum("kuw,kew->kue", rows_m, wx, precision=_SEL_PREC)
+    m = jnp.einsum("kdu,kue->kde", wy, Am, precision=_SEL_PREC)
+    Aa = jnp.einsum("kuw,kew->kue", rows_a, wx, precision=_SEL_PREC)
+    a = jnp.einsum("kdu,kue->kde", wy, Aa, precision=_SEL_PREC)
+
+    dy = dd.astype(jnp.float32)[:, None]
+    dx = dd.astype(jnp.float32)[None, :]
+    wgt = jnp.exp(-(dy * dy + dx * dx)[None]
+                  / (2 * (1.5 * sigs[si]) ** 2)[:, None, None])
+    bins = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 36).astype(jnp.int32) % 36
+    # histogram as a one-hot contraction, not a scatter-add: TPU scatters
+    # serialize on the scalar unit; this is one batched matmul
+    onehot = (bins.reshape(K, -1)[..., None]
+              == jnp.arange(36)).astype(jnp.float32)
+    hist = jnp.einsum("kp,kpb->kb", (m * wgt).reshape(K, -1), onehot,
+                      precision=_SEL_PREC)
+    # smooth the circular histogram
+    hist = (jnp.roll(hist, 1, axis=-1) + hist
+            + jnp.roll(hist, -1, axis=-1)) / 3.0
+    b = jnp.argmax(hist, axis=-1)
+    return (b.astype(jnp.float32) + 0.5) / 36.0 * 2 * jnp.pi - jnp.pi
 
 
-def _descriptor(mag, ang, plane, si, yi, xi, sigs, ori, oh, ow):
+def _descriptor(rows_m, rows_a, rows_abs, si, yi, xi, sigs, ori, oh, ow):
     """4x4 spatial x 8 orientation SIFT-like descriptor from a rotated
-    16x16 sample grid (spacing ~ sigma), vmapped per keypoint over the
-    flat padded pyramid (see _orientation)."""
-    GRID = 16
+    16x16 sample grid (spacing ~ sigma), batched over keypoints against
+    the per-keypoint row bands (see _describe).
 
-    def one(p, s, y, x, theta, h, w):
-        spacing = 0.75 * sigs[s]
-        g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2) * spacing
-        gy, gx = jnp.meshgrid(g, g, indexing="ij")
-        ct, st = jnp.cos(theta), jnp.sin(theta)
-        sx = x.astype(jnp.float32) + ct * gx - st * gy
-        sy = y.astype(jnp.float32) + st * gx + ct * gy
+    Bilinear magnitude taps and nearest angle taps are separable in
+    (y, x), so both become weight contractions; the weights reproduce
+    _bilinear's clip semantics (x0 = clip(floor(sx), 0, w-2) with the
+    UNCLIPPED fraction) in absolute coordinates."""
+    GRID = _GRID
+    K, U, W0 = rows_m.shape
+    spacing = 0.75 * sigs[si]                               # (K,)
+    g = jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2
+    gy2, gx2 = jnp.meshgrid(g, g, indexing="ij")
+    gy = gy2.reshape(-1)[None, :] * spacing[:, None]        # (K, 256)
+    gx = gx2.reshape(-1)[None, :] * spacing[:, None]
+    ct = jnp.cos(ori)[:, None]
+    st = jnp.sin(ori)[:, None]
+    sx = xi.astype(jnp.float32)[:, None] + ct * gx - st * gy
+    sy = yi.astype(jnp.float32)[:, None] + st * gx + ct * gy
 
-        m = _bilinear(mag, p, sy, sx, h, w)
-        a = _nearest_angle(ang, p, sy, sx, h, w) - theta
+    lanes = jnp.arange(W0)[None, None, :]
+    h1 = (oh - 2)[:, None]
+    w1 = (ow - 2)[:, None]
 
-        # Gaussian weight over the window
-        sig_w = GRID * spacing / 2.0
-        wgt = jnp.exp(-(gx * gx + gy * gy) / (2 * sig_w * sig_w))
-        mw = m * wgt
+    # bilinear weights (absolute coords, _bilinear-exact clip semantics)
+    x0f = jnp.floor(sx)
+    fx = (sx - x0f)[..., None]
+    x0 = jnp.clip(x0f, 0, w1).astype(jnp.int32)[..., None]
+    wx_bil = ((lanes == x0) * (1 - fx) + (lanes == x0 + 1) * fx)
+    y0f = jnp.floor(sy)
+    fy = (sy - y0f)[..., None]
+    y0 = jnp.clip(y0f, 0, h1).astype(jnp.int32)[..., None]
+    ua = rows_abs[:, None, :]                               # (K, 1, U)
+    wy_bil = ((ua == y0) * (1 - fy) + (ua == y0 + 1) * fy)
+    m = _row_block_select(rows_m, wy_bil, wx_bil)           # (K, 256)
 
-        # spatial bins: 4x4 blocks of the 16x16 grid
-        cell = GRID // 4
-        spatial = (
-            (jnp.arange(GRID) // cell)[:, None] * 4 + (jnp.arange(GRID) // cell)[None, :]
-        )                                               # (16,16) in [0,16)
-        obin = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
-        idx = spatial * 8 + obin                         # (16,16) in [0,128)
-        # scatter-free binning (see _orientation): one-hot matvec
-        onehot = (idx.reshape(-1)[:, None] == jnp.arange(128)).astype(jnp.float32)
-        d = mw.reshape(-1) @ onehot
+    # nearest-neighbor angle taps
+    xn = jnp.clip(jnp.round(sx), 0, (ow - 1)[:, None]).astype(jnp.int32)
+    yn = jnp.clip(jnp.round(sy), 0, (oh - 1)[:, None]).astype(jnp.int32)
+    wx_nn = (lanes == xn[..., None]).astype(jnp.float32)
+    wy_nn = (ua == yn[..., None]).astype(jnp.float32)
+    a = _row_block_select(rows_a, wy_nn, wx_nn) - ori[:, None]
 
-        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
-        d = jnp.minimum(d, 0.2)
-        return d / jnp.maximum(jnp.linalg.norm(d), 1e-8)
+    # Gaussian weight over the window
+    sig_w = GRID * spacing / 2.0                            # (K,)
+    wgt = jnp.exp(-(gx * gx + gy * gy) / (2 * sig_w * sig_w)[:, None])
+    mw = m * wgt                                            # (K, 256)
 
-    return jax.vmap(one)(plane, si, yi, xi, ori, oh, ow)
+    # spatial bins: 4x4 blocks of the 16x16 grid
+    cell = GRID // 4
+    spatial = (
+        (jnp.arange(GRID) // cell)[:, None] * 4
+        + (jnp.arange(GRID) // cell)[None, :]
+    ).reshape(-1)                                           # (256,) in [0,16)
+    obin = jnp.floor((a + jnp.pi) / (2 * jnp.pi) * 8).astype(jnp.int32) % 8
+    idx = spatial[None, :] * 8 + obin                       # (K, 256)
+    # scatter-free binning (see _orientation): one-hot matmul
+    onehot = (idx[..., None] == jnp.arange(128)).astype(jnp.float32)
+    d = jnp.einsum("ks,ksb->kb", mw, onehot, precision=_SEL_PREC)
+
+    d = d / jnp.maximum(
+        jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
+    d = jnp.minimum(d, 0.2)
+    return d / jnp.maximum(
+        jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
 
 
 def _bilinear(img3, p, sy, sx, h, w):

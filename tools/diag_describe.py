@@ -55,58 +55,23 @@ def main():
 
     eps = lambda i: 1e-6 * (1.0 + i.astype(jnp.float32))
 
-    def ori_body(i):
-        o = feat._orientation(mag + eps(i), ang, plane, si, yi, xi, sigs, oh, ow)
-        return o[0] + o[-1]
-    marginal_ms(ori_body, "orientation (500 kp)")
+    # full describe stage (r5 row-band + one-hot-matmul implementation)
+    def describe_body(i):
+        det_i = dict(det, mag=mag + eps(i))
+        kp = feat._describe(det_i, cfg)
+        return kp.descriptors[0, 0] + kp.orientation[-1]
+    marginal_ms(describe_body, "describe total (500 kp)")
 
-    ori = feat._orientation(mag, ang, plane, si, yi, xi, sigs, oh, ow)
+    # the row-band gather alone
+    Pn, H0, W0 = mag.shape
+    U = 57
 
-    def desc_body(i):
-        d = feat._descriptor(mag + eps(i), ang, plane, si, yi, xi, sigs, ori, oh, ow)
-        return d[0, 0] + d[-1, -1]
-    marginal_ms(desc_body, "descriptor (500 kp)")
-
-    # raw 17x17 axis-aligned patch gather (orientation's read pattern)
-    R = 8
-
-    def gather17_body(i):
-        def one(p, y, x):
-            ddy = jnp.arange(-R, R + 1)
-            yy = (y + ddy)[:, None]
-            xx = (x + ddy)[None, :]
-            return mag[p, yy, xx].sum() + eps(i) * 0
-        v = jax.vmap(one)(plane, jnp.clip(yi, R, oh - R - 1),
-                          jnp.clip(xi, R, ow - R - 1))
-        return v.sum()
-    marginal_ms(gather17_body, "gather 17x17 x500")
-
-    # descriptor-style scattered bilinear: 256 rotated samples x 4 taps
-    GRID = 16
-
-    def bilinear_body(i):
-        def one(p, s, y, x, theta, h, w):
-            spacing = 0.75 * sigs[s]
-            g = (jnp.arange(GRID, dtype=jnp.float32) - (GRID - 1) / 2) * spacing
-            gy, gx = jnp.meshgrid(g, g, indexing="ij")
-            ct, st = jnp.cos(theta), jnp.sin(theta)
-            sx = x.astype(jnp.float32) + ct * gx - st * gy
-            sy = y.astype(jnp.float32) + st * gx + ct * gy
-            return feat._bilinear(mag, p, sy, sx, h, w).sum() + eps(i) * 0
-        v = jax.vmap(one)(plane, si, yi, xi, ori, oh, ow)
-        return v.sum()
-    marginal_ms(bilinear_body, "bilinear 256x4 x500")
-
-    # one-hot histogram matvec alone (random inputs, same shapes)
-    key = jax.random.key(0)
-    mws = jax.random.uniform(key, (500, 256))
-    idxs = jax.random.randint(key, (500, 256), 0, 128)
-
-    def onehot_body(i):
-        onehot = (idxs[..., None] == jnp.arange(128)).astype(jnp.float32)
-        d = jnp.einsum("ks,ksb->kb", mws + eps(i), onehot)
-        return d.sum()
-    marginal_ms(onehot_body, "one-hot 256->128 x500")
+    def rowgather_body(i):
+        fr = plane[:, None] * H0 + jnp.clip(
+            (yi - U // 2)[:, None] + jnp.arange(U)[None, :], 0, H0 - 1)
+        r = jnp.take((mag + eps(i)).reshape(Pn * H0, W0), fr, axis=0)
+        return r[0, 0, 0] + r[-1, -1, -1]
+    marginal_ms(rowgather_body, f"row-band gather 500x{U}")
 
 
 if __name__ == "__main__":
