@@ -138,6 +138,22 @@ def _kernel(
         x_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 1)
         band_mat = ((p_ids >= x_ids) & (p_ids < x_ids + hw)).astype(f32)
 
+    # vertical window sum as an MXU matmul (r5): out row k sums band rows
+    # k..k+hw-1 -> V[k, i] = [k <= i < k+hw], (8, band_rows) @ (band_rows,
+    # Wbw). Replaces the sublane-shift doubling tree, whose cross-tile row
+    # shifts were Mosaic relayouts on the kernel's critical path.
+    vk_ids = lax.broadcasted_iota(jnp.int32, (8, band_rows), 0)
+    vi_ids = lax.broadcasted_iota(jnp.int32, (8, band_rows), 1)
+    vsum_mat = ((vi_ids >= vk_ids) & (vi_ids < vk_ids + hw)).astype(f32)
+
+    # Precision note: all window sums are integer-valued < 2^24 (the
+    # f32-exactness domain this kernel already relies on). A 0/1 selector
+    # times the exact 3-way bf16 split of such an f32 integer reconstructs
+    # it exactly, so THREE passes (Precision.HIGH) are bit-exact here —
+    # HIGHEST's six passes bought nothing but MXU time (the hsum matmul
+    # was the binding resource of the roofline at 6 passes).
+    exact_prec = jax.lax.Precision.HIGH
+
     GD = 128 // 8                                            # disparities per matmul
     inv_area_g = jnp.concatenate([inv_area] * GD, axis=0)    # (128, Wout)
     pos_area_g = jnp.concatenate([pos_area] * GD, axis=0)
@@ -171,22 +187,13 @@ def _kernel(
                 + sq[2 * band_rows : 3 * band_rows]
             )                                                # (br, Wbw)
             dsq = jnp.where(elem_ok, dsq, 0.0)
-            # vertical window sum (out row k needs band rows k..k+hw-1)
-            # as a doubling tree: O(log hw) shifted adds; sums[n][i] =
-            # sum of n consecutive band rows starting at i
-            sums = {1: dsq}
-            p = 1
-            while p * 2 <= hw:
-                s = sums[p]
-                sums[p * 2] = s[: s.shape[0] - p] + s[p:]
-                p *= 2
-            acc, off, bit = None, 0, p
-            while bit >= 1:
-                if hw & bit:
-                    term = sums[bit][off : off + 8]
-                    acc = term if acc is None else acc + term
-                    off += bit
-                bit //= 2
+            # vertical window sum on the MXU (see vsum_mat above):
+            # (8, band_rows) @ (band_rows, Wbw), exact at 3-pass
+            acc = jax.lax.dot_general(
+                vsum_mat, dsq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=exact_prec,
+            )
             vs.append(acc)                                   # (8, Wbw)
         v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
         # horizontal window sum. Exactness matters: the sums are
@@ -210,12 +217,12 @@ def _kernel(
                     off += bit
                 bit //= 2
         else:
-            # MXU banded matmul at HIGHEST precision (6 bf16 passes
-            # reconstruct f32 exactly for these integer-valued sums)
+            # MXU banded matmul; 3 bf16 passes reconstruct f32 exactly
+            # for these integer-valued sums (see exact_prec note)
             h = jax.lax.dot_general(
                 v, band_mat, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=exact_prec,
             )                                                # (128, Wout)
 
         cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g

@@ -21,16 +21,17 @@ def test_tiling_matches_kernel_derivation():
 
 def test_bounds_hand_values():
     r = roofline.matcher_roofline(375, 450, 100, 17)
-    # MXU: 47 bands x 7 groups x 6 passes x 2*128*640*512 flops
-    assert r["mxu_flops"] == 47 * 7 * 6 * 2 * 128 * 640 * 512
+    # MXU: horizontal 47 bands x 7 groups x 3 passes x 2*128*640*512
+    #      + vertical 47 x 112 slots x 3 passes x 2*8*24*640
+    assert r["mxu_flops"] == (47 * 7 * 3 * 2 * 128 * 640 * 512
+                              + 47 * 112 * 3 * 2 * 8 * 24 * 640)
     # HBM compulsory: 2 images f32 in + disparity out
     assert r["hbm_bytes_compulsory"] == 375 * 450 * 3 * 4 * 2 + 375 * 450 * 4
-    # floors ordered as measured on this config: hbm < vpu < mxu
+    # floors ordered on this config: hbm < vpu < mxu
     f = r["floor_ms"]
     assert f["hbm"] < f["vpu"] < f["mxu"]
     assert r["binding_resource"] == "mxu"
-    # sub-ms floors: the 2.0 ms/pair measurement is within ~2.5x of them
-    assert 0.5 < r["floor_ms_binding"] < 1.5
+    assert 0.2 < r["floor_ms_binding"] < 1.0
 
 
 def test_scaling_monotone():

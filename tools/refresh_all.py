@@ -47,6 +47,8 @@ RECORDERS = [
      ["baselines/full_eval.json"]),
     ("pose_profile", ["tools/profile_pose.py"], TPU_ENV, 2400,
      ["baselines/pose_profile.json"]),
+    ("pose_profile_batch", ["tools/profile_pose.py", "--batch", "8"],
+     TPU_ENV, 2400, ["baselines/pose_profile_batch.json"]),
     ("perceptual_scale", ["tools/perceptual_scale.py"], TPU_ENV, 3000,
      ["baselines/perceptual_parity.json"]),
     ("config4_mesh", ["tools/config4_fullres.py", "--mode", "cpu"],
