@@ -148,11 +148,45 @@ def _kernel(
 
     # Precision note: all window sums are integer-valued < 2^24 (the
     # f32-exactness domain this kernel already relies on). A 0/1 selector
-    # times the exact 3-way bf16 split of such an f32 integer reconstructs
-    # it exactly, so THREE passes (Precision.HIGH) are bit-exact here —
-    # HIGHEST's six passes bought nothing but MXU time (the hsum matmul
-    # was the binding resource of the roofline at 6 passes).
-    exact_prec = jax.lax.Precision.HIGH
+    # times the exact 3-way bf16 split of such an f32 value reconstructs
+    # it exactly, so THREE bf16 passes are bit-exact here — HIGHEST's six
+    # bought nothing but MXU time (the hsum matmul was the binding
+    # resource of the roofline at 6 passes). Mosaic does not lower
+    # Precision.HIGH, so the split is spelled out: three native bf16
+    # matmuls over the exact hi/mid/lo decomposition.
+    def dot3_exact(a, m01):
+        """a @ m01 with f32-exact accumulation: a f32 with 24 significant
+        bits, m01 a 0/1 matrix; 3 native bf16 passes."""
+        m16 = m01.astype(jnp.bfloat16)
+        hi16 = a.astype(jnp.bfloat16)
+        r = a - hi16.astype(f32)
+        mid16 = r.astype(jnp.bfloat16)
+        lo16 = (r - mid16.astype(f32)).astype(jnp.bfloat16)
+
+        def d(x16):
+            return jax.lax.dot_general(
+                x16, m16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(hi16) + d(mid16) + d(lo16)
+
+    def dot3_exact_rdata(m01, b):
+        """m01 @ b, 0/1 matrix on the LEFT, f32 data on the right —
+        same exact 3-pass split without transposing the data tile."""
+        m16 = m01.astype(jnp.bfloat16)
+        hi16 = b.astype(jnp.bfloat16)
+        r = b - hi16.astype(f32)
+        mid16 = r.astype(jnp.bfloat16)
+        lo16 = (r - mid16.astype(f32)).astype(jnp.bfloat16)
+
+        def d(x16):
+            return jax.lax.dot_general(
+                m16, x16, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        return d(hi16) + d(mid16) + d(lo16)
 
     GD = 128 // 8                                            # disparities per matmul
     inv_area_g = jnp.concatenate([inv_area] * GD, axis=0)    # (128, Wout)
@@ -188,12 +222,8 @@ def _kernel(
             )                                                # (br, Wbw)
             dsq = jnp.where(elem_ok, dsq, 0.0)
             # vertical window sum on the MXU (see vsum_mat above):
-            # (8, band_rows) @ (band_rows, Wbw), exact at 3-pass
-            acc = jax.lax.dot_general(
-                vsum_mat, dsq, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=exact_prec,
-            )
+            # exact 3-pass (8, band_rows) @ (band_rows, Wbw)
+            acc = dot3_exact_rdata(vsum_mat, dsq)
             vs.append(acc)                                   # (8, Wbw)
         v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
         # horizontal window sum. Exactness matters: the sums are
@@ -218,12 +248,8 @@ def _kernel(
                 bit //= 2
         else:
             # MXU banded matmul; 3 bf16 passes reconstruct f32 exactly
-            # for these integer-valued sums (see exact_prec note)
-            h = jax.lax.dot_general(
-                v, band_mat, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=exact_prec,
-            )                                                # (128, Wout)
+            # for these integer-valued sums (see dot3_exact note)
+            h = dot3_exact(v, band_mat)                      # (128, Wout)
 
         cost = jnp.sqrt(jnp.maximum(h, 0.0)) * inv_area_g
         valid = (
