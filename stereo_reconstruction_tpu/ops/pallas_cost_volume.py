@@ -138,14 +138,6 @@ def _kernel(
         x_ids = lax.broadcasted_iota(jnp.int32, (Wbw, Wout), 1)
         band_mat = ((p_ids >= x_ids) & (p_ids < x_ids + hw)).astype(f32)
 
-    # vertical window sum as an MXU matmul (r5): out row k sums band rows
-    # k..k+hw-1 -> V[k, i] = [k <= i < k+hw], (8, band_rows) @ (band_rows,
-    # Wbw). Replaces the sublane-shift doubling tree, whose cross-tile row
-    # shifts were Mosaic relayouts on the kernel's critical path.
-    vk_ids = lax.broadcasted_iota(jnp.int32, (8, band_rows), 0)
-    vi_ids = lax.broadcasted_iota(jnp.int32, (8, band_rows), 1)
-    vsum_mat = ((vi_ids >= vk_ids) & (vi_ids < vk_ids + hw)).astype(f32)
-
     # Precision note: all window sums are integer-valued < 2^24 (the
     # f32-exactness domain this kernel already relies on). A 0/1 selector
     # times the exact 3-way bf16 split of such an f32 value reconstructs
@@ -164,26 +156,13 @@ def _kernel(
         lo16 = (r - mid16.astype(f32)).astype(jnp.bfloat16)
 
         def d(x16):
+            # explicit DEFAULT precision: the package pins the global
+            # default to HIGHEST, which would tag this bf16 matmul with
+            # an fp32 contract precision Mosaic rejects ("Bad lhs type")
             return jax.lax.dot_general(
                 x16, m16, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-
-        return d(hi16) + d(mid16) + d(lo16)
-
-    def dot3_exact_rdata(m01, b):
-        """m01 @ b, 0/1 matrix on the LEFT, f32 data on the right —
-        same exact 3-pass split without transposing the data tile."""
-        m16 = m01.astype(jnp.bfloat16)
-        hi16 = b.astype(jnp.bfloat16)
-        r = b - hi16.astype(f32)
-        mid16 = r.astype(jnp.bfloat16)
-        lo16 = (r - mid16.astype(f32)).astype(jnp.bfloat16)
-
-        def d(x16):
-            return jax.lax.dot_general(
-                m16, x16, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         return d(hi16) + d(mid16) + d(lo16)
@@ -221,9 +200,25 @@ def _kernel(
                 + sq[2 * band_rows : 3 * band_rows]
             )                                                # (br, Wbw)
             dsq = jnp.where(elem_ok, dsq, 0.0)
-            # vertical window sum on the MXU (see vsum_mat above):
-            # exact 3-pass (8, band_rows) @ (band_rows, Wbw)
-            acc = dot3_exact_rdata(vsum_mat, dsq)
+            # vertical window sum (out row k needs band rows k..k+hw-1)
+            # as a doubling tree: O(log hw) shifted adds; sums[n][i] =
+            # sum of n consecutive band rows starting at i. (An MXU
+            # (8, br) @ (br, Wbw) formulation crashes the Mosaic
+            # compile-helper — sub-tile bf16/f32 operand shapes — so the
+            # VPU tree stays.)
+            sums = {1: dsq}
+            p = 1
+            while p * 2 <= hw:
+                s = sums[p]
+                sums[p * 2] = s[: s.shape[0] - p] + s[p:]
+                p *= 2
+            acc, off, bit = None, 0, p
+            while bit >= 1:
+                if hw & bit:
+                    term = sums[bit][off : off + 8]
+                    acc = term if acc is None else acc + term
+                    off += bit
+                bit //= 2
             vs.append(acc)                                   # (8, Wbw)
         v = jnp.concatenate(vs, axis=0)                      # (128, Wbw)
         # horizontal window sum. Exactness matters: the sums are

@@ -109,7 +109,14 @@ def matcher_roofline(
     diff_sq = 2 * elem                     # sub + mul
     ch_fold = 2 * br * Wbw                 # 3 channels -> 1: two adds
     mask = br * Wbw                        # select
-    per_slot = slice_ops + diff_sq + ch_fold + mask
+    # vertical doubling tree for hw = 16: shifted adds at sizes
+    # (br-1) + (br-3) + (br-7) + (br-15) rows
+    vtree = 0
+    p = 1
+    while p * 2 <= hw:
+        vtree += (br - p) * Wbw
+        p *= 2
+    per_slot = slice_ops + diff_sq + ch_fold + mask + vtree
     # smoothing-input fold: ~6 selects/compares over the (8, Wout) plane
     fold = 6 * 8 * Wout
     # cost transform: sqrt + mul + 3 compares over (128, Wout) per group
@@ -118,15 +125,11 @@ def matcher_roofline(
     # smoothing scan: ~40 VPU ops per output pixel over row_smooth sweeps
     vpu_ops += 40 * H * W
 
-    # --- MXU flops: both window sums are bf16x3 (Precision.HIGH, exact
-    # for the integer-valued sums) matmuls — the vertical (8, br) @
-    # (br, Wbw) reduction per disparity slot and the horizontal banded
-    # (128, Wbw) @ (Wbw, Wout) sum per 16-disparity group
+    # --- MXU flops: the horizontal banded window sum, (128, Wbw) @
+    # (Wbw, Wout) per 16-disparity group, as an exact manual bf16x3
+    # split (3 native bf16 passes; see pallas_cost_volume.dot3_exact)
     PASSES = 3
-    mxu_flops = (
-        H8 * Wn * n_groups * PASSES * 2 * 128 * Wbw * Wout
-        + H8 * Wn * n_dslots * PASSES * 2 * 8 * br * Wbw
-    )
+    mxu_flops = H8 * Wn * n_groups * PASSES * 2 * 128 * Wbw * Wout
 
     t_hbm = actual_bytes / HBM_BYTES_PER_S
     t_vpu = vpu_ops / VPU_FLOPS

@@ -22,9 +22,7 @@ def test_tiling_matches_kernel_derivation():
 def test_bounds_hand_values():
     r = roofline.matcher_roofline(375, 450, 100, 17)
     # MXU: horizontal 47 bands x 7 groups x 3 passes x 2*128*640*512
-    #      + vertical 47 x 112 slots x 3 passes x 2*8*24*640
-    assert r["mxu_flops"] == (47 * 7 * 3 * 2 * 128 * 640 * 512
-                              + 47 * 112 * 3 * 2 * 8 * 24 * 640)
+    assert r["mxu_flops"] == 47 * 7 * 3 * 2 * 128 * 640 * 512
     # HBM compulsory: 2 images f32 in + disparity out
     assert r["hbm_bytes_compulsory"] == 375 * 450 * 3 * 4 * 2 + 375 * 450 * 4
     # floors ordered on this config: hbm < vpu < mxu
