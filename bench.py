@@ -100,16 +100,33 @@ class Reporter:
             self.flush()
             return False
         t0 = time.perf_counter()
-        try:
-            fn()
-            secs[name] = {"status": "ok",
-                          "seconds": round(time.perf_counter() - t0, 1)}
-            ok = True
-        except Exception as e:  # noqa: BLE001 — evidence over purity
-            secs[name] = {"status": "error",
-                          "seconds": round(time.perf_counter() - t0, 1),
-                          "error": f"{type(e).__name__}: {e}"[:600]}
-            ok = False
+        tries = 0
+        while True:
+            tries += 1
+            try:
+                fn()
+                secs[name] = {"status": "ok",
+                              "seconds": round(time.perf_counter() - t0, 1)}
+                if tries > 1:
+                    secs[name]["retried"] = tries - 1
+                ok = True
+                break
+            except Exception as e:  # noqa: BLE001 — evidence over purity
+                msg = f"{type(e).__name__}: {e}"
+                # the axon relay's compile channel occasionally drops a
+                # response mid-read ("INTERNAL: ... remote_compile");
+                # the compile itself usually succeeded and is cached, so
+                # ONE retry typically lands the section
+                transient = ("remote_compile" in msg
+                             and "INTERNAL" in msg and tries == 1
+                             and self.remaining() > 60)
+                if transient:
+                    continue
+                secs[name] = {"status": "error",
+                              "seconds": round(time.perf_counter() - t0, 1),
+                              "error": msg[:600]}
+                ok = False
+                break
         self.flush()
         return ok
 
@@ -262,7 +279,12 @@ def main():
         rep.extra["headline_kind"] = "steady_state_marginal"
 
     rep.section("matcher_steady", sec_matcher_steady, required=True)
-    cold = state.get("compile_s", 0.0) > 60.0
+    # "cold" = the persistent compilation cache did not serve this
+    # process: true cold compiles of the matcher program run 170-900 s
+    # through the relay, while cache-served runs land at 30-90 s
+    # (deserialize + remote load). The old 60 s threshold misclassified
+    # ordinary relay jitter as cold and skipped half the bench (r5).
+    cold = state.get("compile_s", 0.0) > 150.0
 
     def sec_matcher_static():
         # static trip counts let XLA unroll + software-pipeline the K

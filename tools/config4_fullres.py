@@ -35,6 +35,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 DATA = "/root/reference/data/MiddEval3/trainingH/Adirondack"
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
