@@ -57,9 +57,14 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
     """
     n = A.shape[-1]
     A = 0.5 * (A + A.mT)                       # enforce exact symmetry
-    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape) + 0.0 * A
 
-    for _ in range(sweeps):
+    # the sweeps run under lax.fori_loop so the rotation graph compiles
+    # ONCE, not `sweeps` times — the fully unrolled version pushed the
+    # batched pose program's relay compile past the relay's ~300 s
+    # response ceiling (r5 device_pipeline failures)
+    def one_sweep(_, AV):
+        A, V = AV
         for p in range(n - 1):
             for q in range(p + 1, n):
                 app = A[..., p, p]
@@ -86,6 +91,9 @@ def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
                 Vp, Vq = V[..., :, p], V[..., :, q]
                 V = V.at[..., :, p].set(c * Vp - s * Vq)
                 V = V.at[..., :, q].set(s * Vp + c * Vq)
+        return A, V
+
+    A, V = lax.fori_loop(0, sweeps, one_sweep, (A, V))
 
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(w, axis=-1)

@@ -319,16 +319,25 @@ def warp_band(
     # horizontal weights are k-independent: precompute once
     u = [wx(j - DX) for j in range(2 * DX + 1)]
 
-    acc = jnp.zeros((h_out, w_out, img.shape[-1]), jnp.float32)
-    for k in range(2 * DY + 1):
-        rows_k = lax.slice(
-            img_p, (k, 0, 0), (k + h_out, img_p.shape[1], img_p.shape[2]))
+    # the row-shift axis runs under lax.fori_loop (traced k), keeping
+    # only the 2*DX+1 column terms unrolled: the fully unrolled
+    # (2*DY+1)*(2*DX+1)-term graph (561 at the (8, 16) band class) made
+    # the batched dense program's relay compile exceed the relay's
+    # response ceiling (r5); identical arithmetic, ~17x smaller graph
+    def row_term(k, acc):
+        rows_k = lax.dynamic_slice(
+            img_p, (k, 0, 0), (h_out, img_p.shape[1], img_p.shape[2]))
         hval = jnp.zeros_like(acc)
         for j in range(2 * DX + 1):
             shifted = lax.slice(
                 rows_k, (0, j, 0), (h_out, j + w_out, img_p.shape[2]))
             hval = hval + u[j][..., None] * shifted
-        acc = acc + wy(k - DY)[..., None] * hval
+        kf = (k - DY).astype(jnp.float32)
+        return acc + wy(kf)[..., None] * hval
+
+    acc = lax.fori_loop(
+        0, 2 * DY + 1, row_term,
+        jnp.zeros((h_out, w_out, img.shape[-1]), jnp.float32))
 
     return acc[..., 0] if squeeze else acc
 
