@@ -111,6 +111,7 @@ def warn_if_stale_baseline(report: dict, name: str) -> None:
         "uncalibrated_eval.json": ["tools/uncalibrated_eval.py"],
         "config4_fullres.json": ["tools/config4_fullres.py"],
         "pose_profile.json": ["tools/profile_pose.py"],
+        "pose_profile_batch.json": ["tools/profile_pose.py"],
     }
     scope = (["stereo_reconstruction_tpu", "native"]
              + generators.get(os.path.basename(name), ["tools"]))
