@@ -374,20 +374,24 @@ def main():
         )
 
     def _preseed_band():
-        # pre-seed the sticky warp-band class at a pessimistic (8, 16):
+        # pre-seed the sticky warp-band class at a pessimistic (16, 32):
         # every distinct class is a fresh multi-minute relay compile of
         # the dense program, and per-batch pose jitter can still grow
         # past the auto-bumped first class mid-stream (r4d: 1880 s of
-        # steady-section recompiles). (8, 16) covers every rectification
-        # homography seen on this dataset; the extra taps are exact
-        # zero-weight work worth ~2 ms/batch.
+        # steady-section recompiles; r5 measured the same failure at
+        # (8, 16): one perturbed-input pose crossed the class mid-warm
+        # and steady_batches cost 612 s instead of ~350 — a fresh
+        # process pays ONE unavoidable compile, this preseed must make
+        # it exactly one). Exceeding (16, 32) would take a near-45deg
+        # rectification never produced on this dataset; the extra taps
+        # are exact zero-weight work worth a few ms/batch.
         from stereo_reconstruction_tpu import pipeline_batch as pb
         from stereo_reconstruction_tpu.rectify.rectifier import \
             static_canvas
         hmax = h + (-h) % 8
         wmax = w + (-w) % 128
         canvas = static_canvas((hmax, wmax), (hmax, wmax), pcfg.rectify)
-        pb._BAND_CACHE[(hmax, wmax, canvas, pcfg)] = (8, 16)
+        pb._BAND_CACHE[(hmax, wmax, canvas, pcfg)] = (16, 32)
 
     def sec_full_pipeline():
         from stereo_reconstruction_tpu.pipeline import run_pair
@@ -581,12 +585,14 @@ def main():
     # batch/full pipeline repeats, then the config-2 point. Estimates are
     # deliberately pessimistic when the matcher compile indicated a cold
     # cache — the budget machinery must finish and exit, not be killed.
-    # measured r5 section costs (uncontended): device ~137 s fresh (its
-    # programs compile fast since the fori-loop graph shrink), steady
-    # ~450 s (the ~275 s dense-batch compile is NOT served by the
-    # persistent cache — axon backend does not serialize it — plus the
-    # cacheable pose program load and the runs), batch ~60 s once steady
-    # compiled the shared programs, full ~180 s, halfres ~20-80 s.
+    # measured r5 section costs (uncontended): device ~131-137 s fresh
+    # (its programs compile fast since the fori-loop graph shrink),
+    # steady ~340-360 s with the (16, 32) preseed (ONE pose+dense
+    # compile — the axon backend does not serialize executables to the
+    # persistent cache, so every fresh process pays it; a mid-warm band
+    # recompile at the old (8, 16) preseed pushed it to 612 s), batch
+    # ~60 s once steady compiled the shared programs, full ~180 s,
+    # halfres ~20-80 s.
     if pipeline_ok:
         rep.section("device_pipeline", sec_device_pipeline,
                     est_s=500 if cold else 150)
